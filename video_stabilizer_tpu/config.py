@@ -1,0 +1,129 @@
+"""Configuration for the aligner and stabilizer.
+
+Defaults replicate the reference exactly:
+  - AlignerParams:    alignment.hpp:5-41
+  - StabilizerParams: stabilizer.hpp:13-30
+
+Fields are split into *static* (shape-/trace-affecting — changing them
+triggers a recompile) and *dynamic* (traced scalars — sweepable with ``vmap``
+without recompilation). Dynamic fields are marked in the comments.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class AlignerParams:
+    """Per-frame alignment parameters (reference: alignment.hpp:5-41)."""
+
+    # Initialize TX/TY from phase correlation at pyramid level 2 (useful for
+    # fast pans; default off). alignment.hpp:11-12. [static: adds an FFT stage]
+    phase_correlate: bool = False
+    phase_correlate_threshold: float = 0.5  # [dynamic]
+
+    # GN convergence: stop when the max corner movement in one iteration is
+    # below this (pixels). alignment.hpp:19. [dynamic]
+    threshold: float = 0.02
+
+    # Fraction of keypoints (per axis set) kept after warp-diff outlier
+    # rejection. alignment.hpp:26. [dynamic in "mask" mode]
+    smallest_fraction: float = 0.8
+
+    # Max GN iterations per pyramid level. alignment.hpp:31. [static: bounds
+    # the while_loop]
+    max_iters: int = 64
+
+    # Pyramid stops when the next level would be smaller than this.
+    # alignment.hpp:36-37. [static]
+    pyramid_min_width: int = 20
+    pyramid_min_height: int = 20
+
+    # Fail the frame if the converged per-level displacement exceeds this
+    # (pixels). alignment.hpp:40. [dynamic]
+    max_displacement: float = 10.0
+
+    # ---- TPU-native extensions (not in the reference) ----
+
+    # Keypoint selection mode:
+    #   "mask": quantile-threshold masking — fully dense, no top_k/gather;
+    #           ties at the threshold are all kept (deviation from the
+    #           reference's exact nth_element count, documented in SURVEY §7).
+    #   "topk": exact-count selection with jax.lax.top_k (reference parity).
+    selection: str = "mask"
+
+    # Compute dtype for gradients/jacobians/ICA reductions. The reference
+    # accumulates in f64 (generators.cpp:546-595); f32 with XLA tree
+    # reductions is validated against the f64 oracle in tests.
+    dtype: str = "float32"
+
+
+@dataclasses.dataclass(frozen=True)
+class StabilizerParams:
+    """Stabilizer parameters (reference: stabilizer.hpp:13-30)."""
+
+    aligner: AlignerParams = dataclasses.field(default_factory=AlignerParams)
+
+    # Frames of delay before output; also the smoother's lag-behind window.
+    lag: int = 10                 # [static]
+    # The smoother's lag-ahead window ("memory"). NOTE: at the defaults the
+    # stabilizer pairs measurement[t] with smoothed[t+5] — a constant 5-frame
+    # offset quirk, replicated (see SURVEY §3.1; smoother.cpp:84 +
+    # stabilizer.cpp:48-56).
+    smoother_memory: int = 5      # [static]
+    lambda_: float = 4.0          # TV-L1 smoothing strength [dynamic]
+
+    # If false, jitter = raw measurement (stabilizer.cpp:59-64).
+    enable_smoother: bool = True  # [static]
+
+    # Crop the stabilized output by this many pixels on each side.
+    crop_pixels: int = 32         # [static]
+
+    # Displacement-based decay of the accumulated correction
+    # (stabilizer.cpp:69-87): decay lerps min_decay -> max_decay as the
+    # accumulated corner displacement goes min_disp -> max_disp.
+    min_disp: float = 48.0        # [dynamic]
+    max_disp: float = 64.0        # [dynamic]
+    min_decay: float = 0.9        # [dynamic]
+    max_decay: float = 0.7        # [dynamic]
+
+    # ---- TPU-native extensions ----
+    # Output warp interpolation: "bilinear" matches the reference's
+    # cv::warpAffine INTER_LINEAR (imgproc.cpp:472); "lanczos2" uses the
+    # polynomial Lanczos2 kernel (the north-star bgr_image_warp).
+    output_interp: str = "bilinear"
+
+
+def pyramid_shapes(width: int, height: int, params: AlignerParams) -> Tuple[Tuple[int, int], ...]:
+    """Static (width, height) of each pyramid level.
+
+    Replicates the level-count rule of alignment.cpp:164-169: halve (integer
+    division) until the *next* level would fall below pyramid_min.
+    """
+    levels = []
+    w, h = width, height
+    while True:
+        levels.append((w, h))
+        w //= 2
+        h //= 2
+        if not (w >= params.pyramid_min_width and h >= params.pyramid_min_height):
+            break
+    return tuple(levels)
+
+
+def tile_size_for(width: int, height: int, min_tiles: int = 1000, max_tile_size: int = 20) -> int:
+    """Largest even tile size in [2, 20] keeping >= min_tiles tiles.
+
+    Replicates imgproc.cpp:151-162 exactly (including using width for x and
+    height for y). Static per (resolution, level), so each level's argmax
+    specializes at trace time — the analog of the reference's 10 AOT
+    grad_argmax variants.
+    """
+    tile_size = 2
+    for i in range(4, max_tile_size + 1, 2):
+        if (width // i) * (height // i) < min_tiles:
+            break
+        tile_size = i
+    return tile_size

@@ -1,0 +1,381 @@
+"""The coarse-to-fine inverse-compositional Lucas-Kanade aligner.
+
+TPU-native re-design of the reference's VideoAligner (alignment.cpp:149-704):
+the *entire* per-frame alignment — pyramid build, keyframe precompute,
+warp-diff outlier rejection, Hessian + regularized inverse, and the
+Gauss-Newton iteration loop at every pyramid level — is ONE jitted XLA
+program per resolution. There are zero host round trips inside a frame
+(the reference re-enters host code between every kernel: nth_element,
+cv::SVD, 4x4 solves — SURVEY.md §7 "hard parts").
+
+Structural mapping:
+  - level count / shapes / tile sizes  -> static Python (trace-time
+    specialization; the analog of the reference's 10 AOT argmax variants)
+  - alternating keyframe (alignment.hpp:61-66, KeyframeIndex=1) -> pyramid
+    state carries both buffers as a leading axis of 2; keyframe precompute
+    runs under lax.cond(curr == 1)
+  - nth_element 80% selection (alignment.cpp:460-492) -> 0/1 mask via
+    quantile threshold (dense) or exact-count top_k (parity mode)
+  - GN loop with corner-displacement convergence (alignment.cpp:600-668)
+    -> lax.while_loop, all on device
+  - early-return failure semantics (max_iters: alignment.cpp:661-667;
+    per-level displacement: alignment.cpp:670-677) -> transform frozen at
+    the failure point via masking, identical to the value the reference
+    would have returned
+
+Capture envelope (shared with the reference by construction): the scheme
+evaluates keyframe gradients at the *unwarped* keypoint coordinates
+(generators.cpp:346-385), so the GN direction is only correct while the
+gradient autocorrelation C(d) stays positive at the full per-level
+displacement d. On natural (1/f-spectrum) imagery that bounds reliable
+capture to roughly ±2^(levels-1) px of inter-frame motion (~±32px at
+1080p); beyond it the GN either fails max_iters or converges to a small
+spurious transform — exactly as the reference does. phase_correlate=True
+extends the envelope for fast pans (alignment.cpp:369-388).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from video_stabilizer_tpu import transforms as T
+from video_stabilizer_tpu.config import AlignerParams, pyramid_shapes, tile_size_for
+from video_stabilizer_tpu.ops import (
+    grad_argmax,
+    grad_xy,
+    pyr_down,
+    sparse_ica,
+    sparse_jacobian,
+    sparse_warpdiff,
+    take_at_tile_argmax,
+)
+from video_stabilizer_tpu.ops.phase_corr import phase_correlate
+
+# Alternating keyframe constants (alignment.hpp:61-66).
+KEYFRAME_INDEX = 1
+NON_KEYFRAME_INDEX = 0
+PHASE_LEVEL = 2  # alignment.hpp:69
+
+
+@dataclasses.dataclass(frozen=True)
+class LevelSpec:
+    """Static geometry of one pyramid level."""
+    width: int
+    height: int
+    tile: int
+    wt: int   # tiles across
+    ht: int   # tiles down
+
+
+def level_specs(width: int, height: int, params: AlignerParams) -> Tuple[LevelSpec, ...]:
+    """Static per-level geometry for a resolution (alignment.cpp:155-204)."""
+    specs = []
+    for (w, h) in pyramid_shapes(width, height, params):
+        t = tile_size_for(w, h)
+        specs.append(LevelSpec(w, h, t, w // t, h // t))
+    return tuple(specs)
+
+
+class LevelKeyData(NamedTuple):
+    """Per-level keyframe precompute (alignment.cpp:237-276)."""
+    idx_x: jnp.ndarray     # (ht, wt) int32 flat within-tile argmax, X set
+    coords_x: jnp.ndarray  # (ht, wt, 2) int32 absolute (x, y)
+    jac_x: jnp.ndarray     # (ht, wt, 4) float
+    idx_y: jnp.ndarray
+    coords_y: jnp.ndarray
+    jac_y: jnp.ndarray
+
+
+class AlignerState(NamedTuple):
+    """Carried aligner state (pytree). Axis 0 of each pyramid level is the
+    double buffer: index 0 = non-keyframe, 1 = keyframe (alignment.hpp:62-66)."""
+    pyramid: Tuple[jnp.ndarray, ...]   # per level (2, h, w) uint8
+    key: Tuple[LevelKeyData, ...]
+    curr_idx: jnp.ndarray              # () int32: which buffer holds frame t
+    frames_seen: jnp.ndarray           # () int32, saturates at 2
+
+
+def init_state(width: int, height: int, params: AlignerParams) -> AlignerState:
+    specs = level_specs(width, height, params)
+    dtype = jnp.dtype(params.dtype)
+    pyramid = tuple(
+        jnp.zeros((2, s.height, s.width), jnp.uint8) for s in specs)
+    key = tuple(
+        LevelKeyData(
+            idx_x=jnp.zeros((s.ht, s.wt), jnp.int32),
+            coords_x=jnp.zeros((s.ht, s.wt, 2), jnp.int32),
+            jac_x=jnp.zeros((s.ht, s.wt, 4), dtype),
+            idx_y=jnp.zeros((s.ht, s.wt), jnp.int32),
+            coords_y=jnp.zeros((s.ht, s.wt, 2), jnp.int32),
+            jac_y=jnp.zeros((s.ht, s.wt, 4), dtype),
+        ) for s in specs)
+    return AlignerState(
+        pyramid=pyramid,
+        key=key,
+        curr_idx=jnp.zeros((), jnp.int32),
+        frames_seen=jnp.zeros((), jnp.int32),
+    )
+
+
+def _compute_keyframe(key_imgs, specs, params) -> Tuple[LevelKeyData, ...]:
+    """GradXY -> GradArgMax -> SparseJacobian per level (alignment.cpp:237-276)."""
+    dtype = jnp.dtype(params.dtype)
+    out = []
+    for img, s in zip(key_imgs, specs):
+        gx, gy = grad_xy(img, dtype=dtype)
+        idx_x, coords_x, idx_y, coords_y = grad_argmax(gx, gy, s.tile)
+        gval_x = take_at_tile_argmax(gx, idx_x, s.tile)
+        gval_y = take_at_tile_argmax(gy, idx_y, s.tile)
+        jac_x, jac_y = sparse_jacobian(
+            gval_x, gval_y, coords_x, coords_y, s.width, s.height, dtype=dtype)
+        out.append(LevelKeyData(idx_x, coords_x, jac_x, idx_y, coords_y, jac_y))
+    return tuple(out)
+
+
+def _selection_mask(wd, params: AlignerParams):
+    """The smallest-`smallest_fraction` keypoint subset as a 0/1 mask.
+
+    Replaces nth_element + resize (alignment.cpp:460-492). "mask" keeps
+    every element <= the lower-quantile threshold (ties included — a
+    documented deviation); "topk" keeps exactly floor(N * fraction)
+    elements like the reference.
+    """
+    n = wd.size
+    flat = wd.reshape(-1)
+    if params.selection == "topk":
+        k = max(int(n * params.smallest_fraction), 1)
+        _, idx = jax.lax.top_k(-flat, k)
+        mask = jnp.zeros((n,), wd.dtype).at[idx].set(1.0)
+        return mask.reshape(wd.shape)
+    thresh = jnp.quantile(flat, params.smallest_fraction, method="lower")
+    return (wd <= thresh).astype(wd.dtype)
+
+
+def _regularized_inverse(H, dtype):
+    """Condition check + Tikhonov + pseudo-inverse (alignment.cpp:553-583).
+
+    H is 4x4 symmetric PSD, so eigh doubles as the SVD: cond = w_max/w_min,
+    Tikhonov lambda = 1e-6 * w_max when cond > 1e6 (alignment.cpp:567-576),
+    and the DECOMP_SVD pseudo-inverse zeroes near-null eigenvalues.
+    """
+    w, V = jnp.linalg.eigh(H.astype(dtype))
+    w_max = w[-1]
+    w_min = w[0]
+    cond = w_max / (w_min + 1e-10)
+    lam = jnp.where(cond > 1e6, 1e-6 * w_max, 0.0).astype(dtype)
+    w2 = w + lam
+    cutoff = jnp.maximum(w_max + lam, 0.0) * 1e-7
+    inv_w = jnp.where(w2 > cutoff, 1.0 / w2, 0.0)
+    return (V * inv_w[None, :]) @ V.T
+
+
+def _gn_corners(spec, dtype):
+    """The GN convergence corners use the (w-1, h-1) extent
+    (alignment.cpp:590-593), unlike maxCornerDisplacement's (w, h)."""
+    w = spec.width - 1.0
+    h = spec.height - 1.0
+    return jnp.asarray([[0.0, 0.0], [w, 0.0], [0.0, h], [w, h]], dtype)
+
+
+def _align_level(spec: LevelSpec, key: LevelKeyData, template_img, keyframe_img,
+                 transform, params: AlignerParams):
+    """One pyramid level: warpdiff selection, Hessian, GN while_loop.
+
+    Returns (transform_out, level_failed). transform_out is pre-upscale on
+    failure (matching the reference's early return) and TX/TY-doubled on
+    success for levels > 0 (alignment.cpp:683-687).
+    """
+    dtype = jnp.dtype(params.dtype)
+    w, h = spec.width, spec.height
+    cx, cy = w * 0.5, h * 0.5
+
+    # Template intensities at the keyframe's argmax coords — a per-tile
+    # take_along_axis, not a gather (see ops/argmax.py).
+    tmpl_x = take_at_tile_argmax(template_img, key.idx_x, spec.tile).astype(dtype)
+    tmpl_y = take_at_tile_argmax(template_img, key.idx_y, spec.tile).astype(dtype)
+
+    # Warp-diff robustness signal at the incoming transform
+    # (alignment.cpp:409-431; center convention W*0.5, imgproc.cpp:100-103).
+    t_ul0 = T.center_to_ul(transform, w, h, minus_one=False)
+    wd_x = sparse_warpdiff(tmpl_x, keyframe_img, key.coords_x, t_ul0)
+    wd_y = sparse_warpdiff(tmpl_y, keyframe_img, key.coords_y, t_ul0)
+    mask_x = _selection_mask(wd_x, params).astype(dtype)
+    mask_y = _selection_mask(wd_y, params).astype(dtype)
+
+    # Gauss-Newton Hessian over both selected sets (alignment.cpp:278-332,
+    # 548-551) and its regularized inverse — both on device.
+    H = (jnp.einsum("hwi,hwj,hw->ij", key.jac_x, key.jac_x, mask_x)
+         + jnp.einsum("hwi,hwj,hw->ij", key.jac_y, key.jac_y, mask_y))
+    Hinv = _regularized_inverse(H, dtype)
+
+    corners = _gn_corners(spec, dtype)
+    corners0 = T.warp_points_center(transform, corners, cx, cy)
+    jac_scale = jnp.asarray(1.0 / w, dtype)  # undo 1/width rows (alignment.cpp:627-635)
+
+    def gn_cond(carry):
+        _, _, it, converged = carry
+        return jnp.logical_and(jnp.logical_not(converged), it < params.max_iters)
+
+    def gn_body(carry):
+        t, prev_corners, it, _ = carry
+        t_ul = T.center_to_ul(t, w, h, minus_one=False)
+        b = sparse_ica(tmpl_x, tmpl_y, keyframe_img, key.coords_x, key.coords_y,
+                       key.jac_x, key.jac_y, mask_x, mask_y, t_ul, dtype=dtype)
+        dt = Hinv @ b
+        delta = jnp.stack([dt[0] * jac_scale, dt[1] * jac_scale, dt[2], dt[3]])
+        t_new = T.compose(delta, t)  # delta first, then t (alignment.cpp:639)
+        new_corners = T.warp_points_center(t_new, corners, cx, cy)
+        disp12 = jnp.max(jnp.linalg.norm(new_corners - prev_corners, axis=-1))
+        return (t_new, new_corners, it + 1, disp12 < params.threshold)
+
+    t_final, corners1, iters, converged = jax.lax.while_loop(
+        gn_cond, gn_body,
+        (transform, corners0, jnp.zeros((), jnp.int32), jnp.zeros((), bool)))
+
+    # Failure 1: max_iters without convergence (alignment.cpp:661-667).
+    # Failure 2: total level displacement > max_displacement (670-677).
+    disp01 = jnp.max(jnp.linalg.norm(corners1 - corners0, axis=-1))
+    level_failed = jnp.logical_or(
+        jnp.logical_not(converged), disp01 > params.max_displacement)
+
+    # TX/TY double when moving up a level (alignment.cpp:683-687); the caller
+    # applies it only on success and only for levels > 0.
+    t_up = t_final * jnp.asarray([1.0, 1.0, 2.0, 2.0], dtype)
+    return t_final, t_up, level_failed, iters
+
+
+def _phase_init(state_pyramid, curr, specs, params, dtype):
+    """Optional phase-correlation TX/TY init (alignment.cpp:369-388)."""
+    num_levels = len(specs)
+    lvl = min(PHASE_LEVEL, num_levels - 1)
+    prev = 1 - curr
+    img_prev = state_pyramid[lvl][prev].astype(jnp.float32)
+    img_curr = state_pyramid[lvl][curr].astype(jnp.float32)
+    shift, response = phase_correlate(img_prev, img_curr)
+    # The reference's scale factor (1<<PhaseLevel)/(1<<PyramidLevels)
+    # (alignment.cpp:380) — note the denominator is 2^L, not 2^(L-1), i.e.
+    # an implicit extra 0.5 damping; replicated as-is.
+    scale = (1 << lvl) / float(1 << num_levels)
+    tx = shift[0] * scale
+    ty = shift[1] * scale
+    # Sign flip on keyframes (alignment.cpp:383-386).
+    flip = jnp.where(curr == KEYFRAME_INDEX, -1.0, 1.0)
+    ok = response > params.phase_correlate_threshold
+    t = jnp.stack([jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
+                   tx * flip, ty * flip]).astype(dtype)
+    return jnp.where(ok, t, T.identity(dtype))
+
+
+@functools.partial(jax.jit, static_argnames=("params", "width", "height"))
+def _align_next_frame_impl(state: AlignerState, gray, params: AlignerParams,
+                           width: int, height: int):
+    specs = level_specs(width, height, params)
+    num_levels = len(specs)
+    dtype = jnp.dtype(params.dtype)
+
+    # Buffer flip (alignment.cpp:158-159, 206-207): first frame -> buffer 0.
+    curr = jnp.where(state.frames_seen == 0, 0, 1 - state.curr_idx).astype(jnp.int32)
+
+    # Pyramid build for the current frame (alignment.cpp:217-223).
+    levels = [gray]
+    for _ in range(num_levels - 1):
+        levels.append(pyr_down(levels[-1]))
+    pyramid = tuple(
+        buf.at[curr].set(lvl) for buf, lvl in zip(state.pyramid, levels))
+
+    ready = state.frames_seen + 1 >= 2  # alignment.cpp:231-234
+
+    # Keyframe precompute on keyframe frames (alignment.cpp:357-367).
+    def compute_key(_):
+        return _compute_keyframe(
+            tuple(p[KEYFRAME_INDEX] for p in pyramid), specs, params)
+
+    key = jax.lax.cond(curr == KEYFRAME_INDEX, compute_key,
+                       lambda _: state.key, operand=None)
+
+    # Initial transform: identity, or phase-correlation TX/TY.
+    if params.phase_correlate:
+        transform = _phase_init(pyramid, curr, specs, params, dtype)
+    else:
+        transform = T.identity(dtype)
+
+    # Coarse-to-fine level loop, statically unrolled (alignment.cpp:390-688).
+    failed = jnp.zeros((), bool)
+    for lvl in range(num_levels - 1, -1, -1):
+        s = specs[lvl]
+        template_img = pyramid[lvl][NON_KEYFRAME_INDEX]
+        keyframe_img = pyramid[lvl][KEYFRAME_INDEX]
+        t_raw, t_up, level_failed, _ = _align_level(
+            s, key[lvl], template_img, keyframe_img, transform, params)
+        if lvl > 0:
+            t_next = jnp.where(level_failed, t_raw, t_up)
+        else:
+            t_next = t_raw
+        # Freeze at the first failure (the reference early-returns).
+        transform = jnp.where(failed, transform, t_next)
+        failed = jnp.logical_or(failed, level_failed)
+
+    # Non-keyframe frames report the inverse (alignment.cpp:690-693); the
+    # early-return failure paths skip the inversion.
+    inverted = T.inverse(transform)
+    transform = jnp.where(
+        jnp.logical_and(curr != KEYFRAME_INDEX, jnp.logical_not(failed)),
+        inverted, transform)
+
+    success = jnp.logical_and(ready, jnp.logical_not(failed))
+    transform = jnp.where(ready, transform, T.identity(dtype))
+
+    new_state = AlignerState(
+        pyramid=pyramid,
+        key=key,
+        curr_idx=curr,
+        frames_seen=jnp.minimum(state.frames_seen + 1, 2),
+    )
+    return new_state, transform, success
+
+
+def align_next_frame(state: AlignerState, gray, params: AlignerParams):
+    """Align one grayscale frame against the alternating keyframe.
+
+    Args:
+      state: AlignerState for this resolution (init_state).
+      gray: (H, W) uint8 frame.
+      params: static AlignerParams.
+
+    Returns:
+      (new_state, transform (4,), success ()): ``transform`` measures motion
+      from the previous frame to this one; ``success`` is False for the first
+      frame and on track loss (reference returns bool the same way).
+    """
+    h, w = gray.shape[-2], gray.shape[-1]
+    return _align_next_frame_impl(state, gray, params, w, h)
+
+
+class VideoAligner:
+    """Stateful convenience wrapper mirroring the reference's VideoAligner
+    class API (alignment.hpp:51-58). Re-inits state on resolution change
+    (alignment.cpp:155)."""
+
+    def __init__(self, params: AlignerParams = AlignerParams()):
+        self.params = params
+        self._state = None
+        self._shape = None
+
+    def align_next_frame(self, gray):
+        """gray: (H, W) uint8 numpy/JAX array -> (transform (4,), success bool)."""
+        shape = (gray.shape[-2], gray.shape[-1])
+        if self._state is None or shape != self._shape:
+            self._state = init_state(shape[1], shape[0], self.params)
+            self._shape = shape
+        self._state, t, ok = align_next_frame(
+            self._state, jnp.asarray(gray), self.params)
+        return t, ok
+
+    def reset(self):
+        self._state = None
+        self._shape = None
