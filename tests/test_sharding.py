@@ -1,0 +1,54 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh
+(conftest forces JAX_PLATFORMS=cpu + xla_force_host_platform_device_count=8)."""
+
+import numpy as np
+import jax
+import pytest
+
+from video_stabilizer_tpu.config import StabilizerParams
+from video_stabilizer_tpu.models.batch import stabilize_streams
+from video_stabilizer_tpu.parallel import (
+    make_mesh,
+    stabilize_streams_sharded,
+)
+from video_stabilizer_tpu.utils.io import synth_shaky_clip
+
+H, W, N = 96, 128, 16
+
+
+@pytest.fixture(scope="module")
+def clips8():
+    return np.stack([
+        synth_shaky_clip(N, H, W, seed=100 + s, jitter_px=0.6,
+                         pan_px_per_frame=0.2) for s in range(8)])
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_matches_unsharded(clips8):
+    mesh = make_mesh()
+    params = StabilizerParams(crop_pixels=4)
+    out_sh, meas_sh, ok_sh = stabilize_streams_sharded(clips8, mesh, params)
+    out_un, meas_un, ok_un = stabilize_streams(clips8, params)
+    np.testing.assert_array_equal(np.asarray(ok_sh), np.asarray(ok_un))
+    np.testing.assert_allclose(np.asarray(meas_sh), np.asarray(meas_un),
+                               atol=1e-4)
+    diff = np.abs(np.asarray(out_sh, np.int32) - np.asarray(out_un, np.int32))
+    assert np.mean(diff <= 1) > 0.995
+
+
+def test_output_sharding_preserved(clips8):
+    mesh = make_mesh()
+    out, meas, ok = stabilize_streams_sharded(
+        clips8, mesh, StabilizerParams(crop_pixels=4))
+    # Output stays sharded over streams — no implicit all-gather.
+    shard_shapes = {s.data.shape for s in out.addressable_shards}
+    assert shard_shapes == {(1,) + out.shape[1:]}
+
+
+def test_indivisible_stream_count_raises(clips8):
+    mesh = make_mesh()
+    with pytest.raises(ValueError, match="not divisible"):
+        stabilize_streams_sharded(clips8[:3], mesh)

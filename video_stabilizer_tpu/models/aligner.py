@@ -271,6 +271,32 @@ def _phase_init(state_pyramid, curr, specs, params, dtype):
     return jnp.where(ok, t, T.identity(dtype))
 
 
+def align_all_levels(template_pyr, keyframe_pyr, key, specs,
+                     params: AlignerParams, t_init):
+    """The coarse-to-fine level loop (alignment.cpp:390-688), statically
+    unrolled. Shared by the streaming and batched pipelines.
+
+    Args:
+      template_pyr / keyframe_pyr: sequences of per-level (h, w) u8 images.
+      key: per-level LevelKeyData for the keyframe.
+      t_init: (4,) initial transform (identity or phase-correlation init).
+
+    Returns:
+      (transform, failed): the *pre-inversion* transform, frozen at the
+      failure point like the reference's early returns.
+    """
+    transform = t_init
+    failed = jnp.zeros((), bool)
+    for lvl in range(len(specs) - 1, -1, -1):
+        t_raw, t_up, level_failed, _ = _align_level(
+            specs[lvl], key[lvl], template_pyr[lvl], keyframe_pyr[lvl],
+            transform, params)
+        t_next = jnp.where(level_failed, t_raw, t_up) if lvl > 0 else t_raw
+        transform = jnp.where(failed, transform, t_next)
+        failed = jnp.logical_or(failed, level_failed)
+    return transform, failed
+
+
 @functools.partial(jax.jit, static_argnames=("params", "width", "height"))
 def _align_next_frame_impl(state: AlignerState, gray, params: AlignerParams,
                            width: int, height: int):
@@ -305,20 +331,10 @@ def _align_next_frame_impl(state: AlignerState, gray, params: AlignerParams,
         transform = T.identity(dtype)
 
     # Coarse-to-fine level loop, statically unrolled (alignment.cpp:390-688).
-    failed = jnp.zeros((), bool)
-    for lvl in range(num_levels - 1, -1, -1):
-        s = specs[lvl]
-        template_img = pyramid[lvl][NON_KEYFRAME_INDEX]
-        keyframe_img = pyramid[lvl][KEYFRAME_INDEX]
-        t_raw, t_up, level_failed, _ = _align_level(
-            s, key[lvl], template_img, keyframe_img, transform, params)
-        if lvl > 0:
-            t_next = jnp.where(level_failed, t_raw, t_up)
-        else:
-            t_next = t_raw
-        # Freeze at the first failure (the reference early-returns).
-        transform = jnp.where(failed, transform, t_next)
-        failed = jnp.logical_or(failed, level_failed)
+    transform, failed = align_all_levels(
+        tuple(p[NON_KEYFRAME_INDEX] for p in pyramid),
+        tuple(p[KEYFRAME_INDEX] for p in pyramid),
+        key, specs, params, transform)
 
     # Non-keyframe frames report the inverse (alignment.cpp:690-693); the
     # early-return failure paths skip the inversion.

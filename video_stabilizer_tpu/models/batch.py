@@ -1,0 +1,283 @@
+"""Batched, device-resident stabilization pipelines.
+
+The throughput-oriented mode the reference never had: whole clips (and
+batches of streams) stabilized in one XLA program — ``lax.scan`` over time,
+``vmap``/``pjit`` over streams. This is the flagship serving path for the
+">500 fps 1080p on one v5e" target and the unit that shards over a device
+mesh (see parallel/mesh.py).
+
+Key structural idea: the reference's alternating keyframe (alignment.hpp:
+61-66) makes keyframe precompute run on every *other* frame. A naive
+``lax.cond`` under ``vmap`` would execute both branches every frame; instead
+the scan consumes frames in PAIRS — (non-keyframe, keyframe) — so the branch
+structure is static inside each scan step: exactly one keyframe precompute
+and two aligns per two frames, the same op count as the reference.
+
+Semantics (measurements, smoother pairing offset, decay, warp) replicate the
+streaming VideoStabilizer bit-for-bit in f32 — see test_batch.py for the
+streaming-vs-batched equivalence test.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from video_stabilizer_tpu import transforms as T
+from video_stabilizer_tpu.config import AlignerParams, StabilizerParams
+from video_stabilizer_tpu.models.aligner import (
+    align_all_levels,
+    level_specs,
+    _compute_keyframe,
+)
+from video_stabilizer_tpu.models.smoother import tvl1_smooth
+from video_stabilizer_tpu.ops import build_pyramid
+from video_stabilizer_tpu.ops.warp import warp_image_bgr
+
+
+class _PairCarry(NamedTuple):
+    key_pyr: tuple   # per-level (h, w) u8 keyframe images
+    key: tuple       # per-level LevelKeyData
+
+
+def _align_pair_step(carry: _PairCarry, xs, specs, params: AlignerParams):
+    """One scan step = two input frames (alignment.cpp frame indices 2k,
+    2k+1): frame_a lands in the non-keyframe buffer (aligned against the
+    previous keyframe, result inverted — alignment.cpp:690-693); frame_b
+    becomes the new keyframe (precompute + align, direct)."""
+    frame_a, frame_b, pair_idx = xs
+    dtype = jnp.dtype(params.dtype)
+    num_levels = len(specs)
+
+    pyr_a = tuple(build_pyramid(frame_a, num_levels))
+    # frame_a (non-keyframe): template = itself, keyframe = carried.
+    t_a, failed_a = align_all_levels(pyr_a, carry.key_pyr, carry.key, specs,
+                                     params, T.identity(dtype))
+    t_a = jnp.where(failed_a, t_a, T.inverse(t_a))
+    ok_a = jnp.logical_and(pair_idx > 0, jnp.logical_not(failed_a))
+    t_a = jnp.where(pair_idx > 0, t_a, T.identity(dtype))
+
+    pyr_b = tuple(build_pyramid(frame_b, num_levels))
+    key_b = _compute_keyframe(pyr_b, specs, params)
+    # frame_b (keyframe): template = frame_a's pyramid.
+    t_b, failed_b = align_all_levels(pyr_a, pyr_b, key_b, specs, params,
+                                     T.identity(dtype))
+    ok_b = jnp.logical_not(failed_b)
+
+    new_carry = _PairCarry(key_pyr=pyr_b, key=key_b)
+    return new_carry, (jnp.stack([t_a, t_b]),
+                       jnp.stack([ok_a, ok_b]))
+
+
+def align_clip_impl(frames, params: AlignerParams, width: int, height: int):
+    """Align a whole (T, H, W) u8 clip on device.
+
+    Returns (transforms (T, 4), success (T,) bool): per-frame motion from
+    the previous frame, first frame reported unsuccessful like the
+    streaming path. Odd-length clips are padded internally and trimmed.
+    """
+    specs = level_specs(width, height, params)
+    dtype = jnp.dtype(params.dtype)
+    t_in = frames.shape[0]
+    if t_in % 2:
+        frames = jnp.concatenate([frames, frames[-1:]], axis=0)
+    t_pad = frames.shape[0]
+    pairs_a = frames[0::2]
+    pairs_b = frames[1::2]
+    idx = jnp.arange(t_pad // 2, dtype=jnp.int32)
+
+    carry0 = _PairCarry(
+        key_pyr=tuple(jnp.zeros((s.height, s.width), jnp.uint8) for s in specs),
+        key=_compute_keyframe(
+            tuple(jnp.zeros((s.height, s.width), jnp.uint8) for s in specs),
+            specs, params),
+    )
+    step = functools.partial(_align_pair_step, specs=specs, params=params)
+    _, (t_pairs, ok_pairs) = jax.lax.scan(step, carry0,
+                                          (pairs_a, pairs_b, idx))
+    transforms_seq = t_pairs.reshape(t_pad, 4)[:t_in]
+    success = ok_pairs.reshape(t_pad)[:t_in]
+    return transforms_seq, success
+
+
+@functools.partial(jax.jit, static_argnames=("params", "width", "height"))
+def _align_clip_jit(frames, params, width, height):
+    return align_clip_impl(frames, params, width, height)
+
+
+def align_clip(frames, params: AlignerParams = AlignerParams()):
+    """Host-friendly wrapper: (T, H, W) u8 -> (transforms, success)."""
+    t, h, w = frames.shape
+    return _align_clip_jit(jnp.asarray(frames), params, w, h)
+
+
+# --------------------------------------------------------------------------
+# Trajectory smoothing + jitter accumulation + output warp, all on device.
+# --------------------------------------------------------------------------
+
+def smooth_trajectory(measurements, params: StabilizerParams):
+    """Sliding-window TV-L1 smooth of a (T, 4) measurement sequence.
+
+    Replicates L1SmootherCenter's per-update windows (smoother.cpp:91-113):
+    output k smooths [max(0, k - lag), k + memory] and takes the element at
+    index k. Every window runs in parallel (vmapped) instead of the
+    reference's sequential re-smoothing per frame.
+
+    Returns (T_s, 4) with T_s = T - smoother_memory (indices with a full
+    look-ahead window).
+    """
+    t_total = measurements.shape[0]
+    lag_behind = params.lag
+    lag_ahead = params.smoother_memory
+    window = lag_behind + lag_ahead + 1
+    n_out = t_total - lag_ahead
+    if n_out <= 0:
+        return jnp.zeros((0, 4), measurements.dtype)
+
+    ks = jnp.arange(n_out, dtype=jnp.int32)
+    starts = jnp.maximum(0, ks - lag_behind)
+    valid = ks + lag_ahead - starts + 1          # window length per k
+    # Gather fixed-size windows starting at `starts` (rows beyond the valid
+    # prefix are ignored via valid_len).
+    offs = jnp.arange(window, dtype=jnp.int32)
+    gather_idx = jnp.minimum(starts[:, None] + offs[None, :], t_total - 1)
+    windows = measurements[gather_idx]           # (n_out, window, 4)
+
+    def smooth_one(win, k, start, vlen):
+        sm = tvl1_smooth(win.T, jnp.asarray(params.lambda_, win.dtype),
+                         valid_len=vlen)         # (4, window)
+        middle = k - start
+        return jax.lax.dynamic_slice_in_dim(sm, middle, 1, axis=-1)[:, 0]
+
+    return jax.vmap(smooth_one)(windows, ks, starts, valid)
+
+
+def accumulate_corrections(measurements, success, smoothed,
+                           params: StabilizerParams, width: int, height: int):
+    """The stabilizer's per-frame accumulator scan (stabilizer.cpp:32-88).
+
+    Follows the streaming event order exactly: at input step i, an alignment
+    failure resets the accumulator; when i >= lag, measurement m = i - lag
+    is popped, jitter = meas[m] ∘ smoothed[m + lag - memory]^-1 is folded in
+    with displacement-based decay.
+
+    Returns (T - lag, 4): the accumulated correction for each output frame.
+    """
+    t_total = measurements.shape[0]
+    lag = params.lag
+    offset = lag - params.smoother_memory  # the replicated pairing quirk
+    n_out = t_total - lag
+    dtype = measurements.dtype
+
+    min_disp = jnp.asarray(params.min_disp, dtype)
+    max_disp = jnp.asarray(params.max_disp, dtype)
+    min_decay = jnp.asarray(params.min_decay, dtype)
+    max_decay = jnp.asarray(params.max_decay, dtype)
+
+    def step(accum, i):
+        accum = jnp.where(success[i], accum, jnp.zeros(4, dtype))
+        m = i - lag
+
+        def fold(accum):
+            meas = measurements[m]
+            if params.enable_smoother:
+                sm = smoothed[jnp.minimum(m + offset, smoothed.shape[0] - 1)]
+                jitter = T.compose(meas, T.inverse(sm))
+            else:
+                jitter = meas
+            # newAccum = m_accum.compose(jitter): apply accum first, then
+            # jitter (stabilizer.cpp:66).
+            new_accum = T.compose(accum, jitter)
+            disp = T.max_corner_displacement(new_accum, width, height)
+            f = jnp.clip((disp - min_disp) / (max_disp - min_disp), 0.0, 1.0)
+            decay = jnp.where(
+                disp > max_disp, max_decay,
+                jnp.where(disp > min_disp,
+                          min_decay * (1.0 - f) + max_decay * f, min_decay))
+            return new_accum * decay
+
+        accum = jnp.where(m >= 0, fold(accum), accum)
+        return accum, accum
+
+    _, accums = jax.lax.scan(step, jnp.zeros(4, dtype),
+                             jnp.arange(t_total, dtype=jnp.int32))
+    return accums[lag:]
+
+
+def stabilize_clip_impl(frames_bgr, params: StabilizerParams,
+                        width: int, height: int):
+    """Full on-device stabilization of a (T, H, W, C) u8 clip.
+
+    Returns (stabilized (T - lag, H - 2c, W - 2c, C) u8,
+             transforms (T, 4), success (T,)).
+    """
+    if frames_bgr.shape[0] <= params.lag:
+        raise ValueError(
+            f"clip length {frames_bgr.shape[0]} must exceed lag={params.lag} "
+            "to produce any output (the stabilizer delays by `lag` frames)")
+    gray = _bgr_to_gray_batched(frames_bgr)
+    meas, success = align_clip_impl(gray, params.aligner, width, height)
+
+    if params.enable_smoother:
+        smoothed = smooth_trajectory(meas, params)
+    else:
+        smoothed = meas
+    accums = accumulate_corrections(meas, success, smoothed, params,
+                                    width, height)
+
+    c = params.crop_pixels
+    delayed = frames_bgr[: frames_bgr.shape[0] - params.lag]
+
+    def warp_one(frame, accum):
+        # warpBySimilarityTransform(frame, accum^-1) == sample at accum
+        # (see ops/warp.py direction note).
+        t_ul = T.center_to_ul(accum.astype(jnp.float32), width, height,
+                              minus_one=True)
+        out = warp_image_bgr(frame, t_ul, interp=params.output_interp,
+                             border="zero")
+        if c > 0:
+            out = out[c:-c, c:-c]
+        return out
+
+    stabilized = jax.vmap(warp_one)(delayed, accums)
+    return stabilized, meas, success
+
+
+def _bgr_to_gray_batched(frames):
+    if frames.ndim == 3:
+        return frames
+    f = frames.astype(jnp.float32)
+    gray = 0.114 * f[..., 0] + 0.587 * f[..., 1] + 0.299 * f[..., 2]
+    return jnp.round(gray).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("params", "width", "height"))
+def _stabilize_clip_jit(frames, params, width, height):
+    return stabilize_clip_impl(frames, params, width, height)
+
+
+def stabilize_clip(frames_bgr, params: StabilizerParams = StabilizerParams()):
+    """Host wrapper: (T, H, W, 3) or (T, H, W) u8 -> stabilized clip."""
+    frames_bgr = jnp.asarray(frames_bgr)
+    h, w = frames_bgr.shape[1], frames_bgr.shape[2]
+    return _stabilize_clip_jit(frames_bgr, params, w, h)
+
+
+@functools.partial(jax.jit, static_argnames=("params", "width", "height"))
+def _stabilize_streams_jit(frames, params, width, height):
+    return jax.vmap(
+        lambda f: stabilize_clip_impl(f, params, width, height))(frames)
+
+
+def stabilize_streams(frames_bgr, params: StabilizerParams = StabilizerParams()):
+    """Multi-stream batch: (S, T, H, W, 3) u8 -> (S, T - lag, ...) u8.
+
+    vmapped over the stream axis; shard the input's S axis over a device
+    mesh (parallel/mesh.py) to scale across chips with zero collectives.
+    """
+    frames_bgr = jnp.asarray(frames_bgr)
+    h, w = frames_bgr.shape[2], frames_bgr.shape[3]
+    return _stabilize_streams_jit(frames_bgr, params, w, h)

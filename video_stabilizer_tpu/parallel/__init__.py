@@ -1,0 +1,11 @@
+"""Multi-chip scaling: device-mesh sharding of stream batches and vmapped
+hyperparameter sweeps (the reference's CPU thread pools, re-expressed as
+SPMD over a jax.sharding.Mesh)."""
+
+from video_stabilizer_tpu.parallel.mesh import (
+    make_mesh,
+    shard_streams,
+    stabilize_streams_sharded,
+)
+
+__all__ = ["make_mesh", "shard_streams", "stabilize_streams_sharded"]
