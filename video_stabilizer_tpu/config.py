@@ -59,6 +59,15 @@ class AlignerParams:
     # reductions is validated against the f64 oracle in tests.
     dtype: str = "float32"
 
+    # Margin (pixels) of the pre-extracted per-tile sampling windows
+    # (ops/patches.py). Supports warp displacements up to margin-2 px per
+    # level; 12 covers the reference's max_displacement=10 envelope. Applied
+    # to the two coarsest levels (which absorb the bulk inter-frame motion);
+    # finer levels — whose intra-level refinement is sub-pixel after the
+    # coarse init — use window_margin_fine to cut window memory/compute.
+    window_margin: int = 12
+    window_margin_fine: int = 6
+
 
 @dataclasses.dataclass(frozen=True)
 class StabilizerParams:

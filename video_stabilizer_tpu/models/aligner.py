@@ -49,12 +49,21 @@ from video_stabilizer_tpu.ops import (
     grad_argmax,
     grad_xy,
     pyr_down,
-    sparse_ica,
     sparse_jacobian,
-    sparse_warpdiff,
     take_at_tile_argmax,
 )
+from video_stabilizer_tpu.ops.linalg import regularized_pinv_sym4
+from video_stabilizer_tpu.ops.patches import (
+    extract_tile_windows,
+    window_origins,
+    window_size,
+)
 from video_stabilizer_tpu.ops.phase_corr import phase_correlate
+from video_stabilizer_tpu.ops.select import histogram_mask, topk_mask
+from video_stabilizer_tpu.ops.sparse import (
+    sparse_ica_windows,
+    sparse_warpdiff_windows,
+)
 
 # Alternating keyframe constants (alignment.hpp:61-66).
 KEYFRAME_INDEX = 1
@@ -68,27 +77,36 @@ class LevelSpec:
     width: int
     height: int
     tile: int
-    wt: int   # tiles across
-    ht: int   # tiles down
+    wt: int       # tiles across
+    ht: int       # tiles down
+    margin: int   # sampling-window margin (ops/patches.py)
 
 
 def level_specs(width: int, height: int, params: AlignerParams) -> Tuple[LevelSpec, ...]:
     """Static per-level geometry for a resolution (alignment.cpp:155-204)."""
+    shapes = pyramid_shapes(width, height, params)
+    n = len(shapes)
     specs = []
-    for (w, h) in pyramid_shapes(width, height, params):
+    for lvl, (w, h) in enumerate(shapes):
         t = tile_size_for(w, h)
-        specs.append(LevelSpec(w, h, t, w // t, h // t))
+        # Coarsest two levels absorb the bulk motion -> full margin; finer
+        # levels refine sub-pixel -> slim windows.
+        m = params.window_margin if lvl >= n - 2 else params.window_margin_fine
+        specs.append(LevelSpec(w, h, t, w // t, h // t, m))
     return tuple(specs)
 
 
 class LevelKeyData(NamedTuple):
-    """Per-level keyframe precompute (alignment.cpp:237-276)."""
+    """Per-level keyframe precompute (alignment.cpp:237-276), plus the
+    pre-extracted sampling windows (the TPU-native replacement for the
+    per-iteration random-access reads of the keyframe — ops/patches.py)."""
     idx_x: jnp.ndarray     # (ht, wt) int32 flat within-tile argmax, X set
     coords_x: jnp.ndarray  # (ht, wt, 2) int32 absolute (x, y)
     jac_x: jnp.ndarray     # (ht, wt, 4) float
     idx_y: jnp.ndarray
     coords_y: jnp.ndarray
     jac_y: jnp.ndarray
+    windows: jnp.ndarray   # (ht, wt, P, P) bf16 keyframe windows
 
 
 class AlignerState(NamedTuple):
@@ -113,6 +131,10 @@ def init_state(width: int, height: int, params: AlignerParams) -> AlignerState:
             idx_y=jnp.zeros((s.ht, s.wt), jnp.int32),
             coords_y=jnp.zeros((s.ht, s.wt, 2), jnp.int32),
             jac_y=jnp.zeros((s.ht, s.wt, 4), dtype),
+            windows=jnp.zeros(
+                (s.ht, s.wt,
+                 window_size(s.tile, s.margin),
+                 window_size(s.tile, s.margin)), jnp.bfloat16),
         ) for s in specs)
     return AlignerState(
         pyramid=pyramid,
@@ -133,45 +155,23 @@ def _compute_keyframe(key_imgs, specs, params) -> Tuple[LevelKeyData, ...]:
         gval_y = take_at_tile_argmax(gy, idx_y, s.tile)
         jac_x, jac_y = sparse_jacobian(
             gval_x, gval_y, coords_x, coords_y, s.width, s.height, dtype=dtype)
-        out.append(LevelKeyData(idx_x, coords_x, jac_x, idx_y, coords_y, jac_y))
+        windows = extract_tile_windows(img, s.tile, s.margin)
+        out.append(LevelKeyData(idx_x, coords_x, jac_x, idx_y, coords_y,
+                                jac_y, windows))
     return tuple(out)
 
 
 def _selection_mask(wd, params: AlignerParams):
     """The smallest-`smallest_fraction` keypoint subset as a 0/1 mask.
 
-    Replaces nth_element + resize (alignment.cpp:460-492). "mask" keeps
-    every element <= the lower-quantile threshold (ties included — a
-    documented deviation); "topk" keeps exactly floor(N * fraction)
+    Replaces nth_element + resize (alignment.cpp:460-492). "mask" uses the
+    integer-binned histogram threshold (reference-like u16 binning, ties
+    kept — ops/select.py); "topk" keeps exactly floor(N * fraction)
     elements like the reference.
     """
-    n = wd.size
-    flat = wd.reshape(-1)
     if params.selection == "topk":
-        k = max(int(n * params.smallest_fraction), 1)
-        _, idx = jax.lax.top_k(-flat, k)
-        mask = jnp.zeros((n,), wd.dtype).at[idx].set(1.0)
-        return mask.reshape(wd.shape)
-    thresh = jnp.quantile(flat, params.smallest_fraction, method="lower")
-    return (wd <= thresh).astype(wd.dtype)
-
-
-def _regularized_inverse(H, dtype):
-    """Condition check + Tikhonov + pseudo-inverse (alignment.cpp:553-583).
-
-    H is 4x4 symmetric PSD, so eigh doubles as the SVD: cond = w_max/w_min,
-    Tikhonov lambda = 1e-6 * w_max when cond > 1e6 (alignment.cpp:567-576),
-    and the DECOMP_SVD pseudo-inverse zeroes near-null eigenvalues.
-    """
-    w, V = jnp.linalg.eigh(H.astype(dtype))
-    w_max = w[-1]
-    w_min = w[0]
-    cond = w_max / (w_min + 1e-10)
-    lam = jnp.where(cond > 1e6, 1e-6 * w_max, 0.0).astype(dtype)
-    w2 = w + lam
-    cutoff = jnp.maximum(w_max + lam, 0.0) * 1e-7
-    inv_w = jnp.where(w2 > cutoff, 1.0 / w2, 0.0)
-    return (V * inv_w[None, :]) @ V.T
+        return topk_mask(wd, params.smallest_fraction)
+    return histogram_mask(wd, params.smallest_fraction)
 
 
 def _gn_corners(spec, dtype):
@@ -199,11 +199,15 @@ def _align_level(spec: LevelSpec, key: LevelKeyData, template_img, keyframe_img,
     tmpl_x = take_at_tile_argmax(template_img, key.idx_x, spec.tile).astype(dtype)
     tmpl_y = take_at_tile_argmax(template_img, key.idx_y, spec.tile).astype(dtype)
 
+    ox, oy = window_origins(spec.ht, spec.wt, spec.tile, spec.margin)
+
     # Warp-diff robustness signal at the incoming transform
     # (alignment.cpp:409-431; center convention W*0.5, imgproc.cpp:100-103).
     t_ul0 = T.center_to_ul(transform, w, h, minus_one=False)
-    wd_x = sparse_warpdiff(tmpl_x, keyframe_img, key.coords_x, t_ul0)
-    wd_y = sparse_warpdiff(tmpl_y, keyframe_img, key.coords_y, t_ul0)
+    wd_x = sparse_warpdiff_windows(tmpl_x, key.windows, key.coords_x, t_ul0,
+                                   ox, oy)
+    wd_y = sparse_warpdiff_windows(tmpl_y, key.windows, key.coords_y, t_ul0,
+                                   ox, oy)
     mask_x = _selection_mask(wd_x, params).astype(dtype)
     mask_y = _selection_mask(wd_y, params).astype(dtype)
 
@@ -211,7 +215,7 @@ def _align_level(spec: LevelSpec, key: LevelKeyData, template_img, keyframe_img,
     # 548-551) and its regularized inverse — both on device.
     H = (jnp.einsum("hwi,hwj,hw->ij", key.jac_x, key.jac_x, mask_x)
          + jnp.einsum("hwi,hwj,hw->ij", key.jac_y, key.jac_y, mask_y))
-    Hinv = _regularized_inverse(H, dtype)
+    Hinv = regularized_pinv_sym4(H)
 
     corners = _gn_corners(spec, dtype)
     corners0 = T.warp_points_center(transform, corners, cx, cy)
@@ -224,8 +228,9 @@ def _align_level(spec: LevelSpec, key: LevelKeyData, template_img, keyframe_img,
     def gn_body(carry):
         t, prev_corners, it, _ = carry
         t_ul = T.center_to_ul(t, w, h, minus_one=False)
-        b = sparse_ica(tmpl_x, tmpl_y, keyframe_img, key.coords_x, key.coords_y,
-                       key.jac_x, key.jac_y, mask_x, mask_y, t_ul, dtype=dtype)
+        b = sparse_ica_windows(tmpl_x, tmpl_y, key.windows, key.coords_x,
+                               key.coords_y, key.jac_x, key.jac_y,
+                               mask_x, mask_y, t_ul, ox, oy, dtype=dtype)
         dt = Hinv @ b
         delta = jnp.stack([dt[0] * jac_scale, dt[1] * jac_scale, dt[2], dt[3]])
         t_new = T.compose(delta, t)  # delta first, then t (alignment.cpp:639)

@@ -35,7 +35,7 @@ from video_stabilizer_tpu.models.aligner import (
 )
 from video_stabilizer_tpu.models.smoother import tvl1_smooth
 from video_stabilizer_tpu.ops import build_pyramid
-from video_stabilizer_tpu.ops.warp import warp_image_bgr
+from video_stabilizer_tpu.ops.fast_warp import warp_image_fast
 
 
 class _PairCarry(NamedTuple):
@@ -233,11 +233,10 @@ def stabilize_clip_impl(frames_bgr, params: StabilizerParams,
 
     def warp_one(frame, accum):
         # warpBySimilarityTransform(frame, accum^-1) == sample at accum
-        # (see ops/warp.py direction note).
+        # (see ops/warp.py direction note). Gather-free fast path.
         t_ul = T.center_to_ul(accum.astype(jnp.float32), width, height,
                               minus_one=True)
-        out = warp_image_bgr(frame, t_ul, interp=params.output_interp,
-                             border="zero")
+        out = warp_image_fast(frame, t_ul, interp=params.output_interp)
         if c > 0:
             out = out[c:-c, c:-c]
         return out

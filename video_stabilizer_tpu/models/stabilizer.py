@@ -33,7 +33,7 @@ from video_stabilizer_tpu import transforms as T
 from video_stabilizer_tpu.config import StabilizerParams
 from video_stabilizer_tpu.models.aligner import VideoAligner
 from video_stabilizer_tpu.models.smoother import L1SmootherCenter
-from video_stabilizer_tpu.ops.warp import warp_image_bgr
+from video_stabilizer_tpu.ops.fast_warp import warp_image_fast
 
 
 # ------------------------- host-side f64 transform algebra -----------------
@@ -126,8 +126,7 @@ class VideoStabilizer:
         if self._warp_fn is None:
             interp = self.params.output_interp
             self._warp_fn = jax.jit(
-                lambda img, tt: warp_image_bgr(img, tt, interp=interp,
-                                               border="zero"))
+                lambda img, tt: warp_image_fast(img, tt, interp=interp))
         return self._warp_fn(frame_dev, t_ul)
 
     def process_frame(self, frame_bgr):

@@ -1,0 +1,132 @@
+"""Gather-free sparse sampling via per-tile windows.
+
+The only true random access in the whole pipeline is sampling the keyframe
+at warped keypoint positions (5x5 Lanczos2 patches — generators.cpp:459-498).
+XLA gathers on TPU run at ~30M elements/s (measured); at ~2000 points x 25
+taps x ~10 GN iterations x 6 levels x 2 sets per frame they dominate
+everything.
+
+TPU-native restructuring: keypoints live one-per-tile on a regular grid, so
+once per keyframe we extract a dense, overlapping WINDOW around every tile
+— pure strided slicing of a padded image, no gathers, fully fused by XLA —
+and every warped sample becomes a position-dependent weighted reduction
+*within its own window*:
+
+    val[n] = sum_{p,q} L(p - rel_y[n]) L(q - rel_x[n]) window[n, p, q]
+
+The Lanczos2 kernel is zero beyond radius 2, so evaluating it densely over
+the whole window computes exactly the reference's 5x5 weighted sample —
+while turning the inner GN loop into batched small matvecs (VPU/MXU food)
+with zero memory indirection.
+
+Capture envelope: a window of margin m supports warp displacements up to
+(m - 2) px at that level before the sample position clamps to the window
+interior (the reference instead clamps each tap to the image border —
+generators.cpp:490-492; both behaviors only differ for points the outlier
+rejection discards anyway). margin defaults to 12, covering the reference's
+max_displacement=10 per-level envelope (alignment.hpp:40).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from video_stabilizer_tpu.ops.lanczos import lanczos2
+
+
+def window_size(tile: int, margin: int) -> int:
+    return tile + 2 * margin
+
+
+def extract_tile_windows(img, tile: int, margin: int, out_dtype=jnp.bfloat16):
+    """(H, W) u8 -> (Ht, Wt, P, P) windows, P = tile + 2*margin.
+
+    Window (i, j) covers image rows [i*tile - margin, i*tile - margin + P)
+    and the analogous columns, with repeat-edge padding. Built from
+    2*ceil(P/tile) tile-aligned reshaped slices — no gathers, op count
+    independent of P's fine structure (keeps XLA compile time sane).
+    u8 values are exact in bfloat16 (integers <= 256), halving the HBM
+    traffic of the GN inner loop.
+    """
+    h, w = img.shape[-2], img.shape[-1]
+    t = tile
+    ht, wt = h // t, w // t
+    p = window_size(t, margin)
+    k = -(-p // t)  # ceil(P / tile) blocks per axis
+
+    # Pad so every tile-aligned block below stays in range: top/left by
+    # margin, bottom/right by margin + tile (covers H not divisible by t).
+    padded = jnp.pad(img, ((margin, margin + t), (margin, margin + t)),
+                     mode="edge").astype(out_dtype)
+
+    # Rows: block kk holds padded[kk*t + i*t + j] = window row r = kk*t + j.
+    rows = jnp.stack(
+        [padded[kk * t : kk * t + ht * t, :].reshape(ht, t, -1)
+         for kk in range(k)], axis=1)              # (ht, K, t, W')
+    rows = rows.reshape(ht, k * t, -1)[:, :p, :]   # (ht, P, W')
+
+    # Cols: same trick on the last axis.
+    cols = jnp.stack(
+        [rows[:, :, kk * t : kk * t + wt * t].reshape(ht, p, wt, t)
+         for kk in range(k)], axis=3)              # (ht, P, wt, K, t)
+    wins = cols.reshape(ht, p, wt, k * t)[:, :, :, :p]
+
+    return wins.transpose(0, 2, 1, 3)              # (ht, wt, P, P)
+
+
+def window_origins(ht: int, wt: int, tile: int, margin: int):
+    """Image-coordinate (x, y) of each window's [0, 0] corner."""
+    oy = jnp.arange(ht, dtype=jnp.int32) * tile - margin
+    ox = jnp.arange(wt, dtype=jnp.int32) * tile - margin
+    return ox, oy
+
+
+def sample_windows(windows, rel_x, rel_y, dtype=jnp.float32):
+    """Weight-normalized Lanczos2 sample at continuous window positions.
+
+    Args:
+      windows: (Ht, Wt, P, P) (bf16 ok — upcast in compute).
+      rel_x, rel_y: (Ht, Wt) continuous positions in window coords, assumed
+        pre-clamped to [2, P-3] (see ``clamp_rel``).
+    Returns:
+      (Ht, Wt) ``dtype`` sample values.
+    """
+    p = windows.shape[-1]
+    taps = jnp.arange(p, dtype=dtype)
+    # Only the <=5 taps within radius 2 of the position are nonzero.
+    wy = lanczos2(taps[None, None, :] - rel_y[..., None].astype(dtype))
+    wx = lanczos2(taps[None, None, :] - rel_x[..., None].astype(dtype))
+    w = windows.astype(dtype)
+    num = jnp.einsum("hwpq,hwp,hwq->hw", w, wy, wx)
+    den = jnp.sum(wy, axis=-1) * jnp.sum(wx, axis=-1)
+    return num / den
+
+
+def clamp_rel(rel, p: int):
+    """Clamp a window-relative position so all 5 Lanczos taps stay inside.
+
+    floor(rel) + [-2, 2] within [0, p-1] requires rel in [2, p-3); clamp a
+    hair inside so floor() stays in range.
+    """
+    return jnp.clip(rel, 2.0, p - 3.0 - 1e-3)
+
+
+def warp_rel_positions(coords, t_ul, ox, oy, p: int):
+    """Warped sample positions of integer keypoint ``coords``, expressed in
+    their window's coordinates and clamped to the valid interior.
+
+    Args:
+      coords: (Ht, Wt, 2) int (x, y) absolute keypoint coords.
+      t_ul: (4,) origin-based transform (W*0.5 center convention upstream).
+      ox, oy: window origins from ``window_origins``.
+    Returns:
+      (rel_x, rel_y): (Ht, Wt) float32 positions.
+    """
+    fx = coords[..., 0].astype(jnp.float32)
+    fy = coords[..., 1].astype(jnp.float32)
+    a, b, tx, ty = t_ul[0], t_ul[1], t_ul[2], t_ul[3]
+    wx = (1.0 + a) * fx - b * fy + tx
+    wy = b * fx + (1.0 + a) * fy + ty
+    rel_x = clamp_rel(wx - ox[None, :].astype(jnp.float32), p)
+    rel_y = clamp_rel(wy - oy[:, None].astype(jnp.float32), p)
+    return rel_x, rel_y

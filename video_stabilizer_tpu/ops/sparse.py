@@ -160,3 +160,43 @@ def sparse_ica(template_vals_x, template_vals_y, keyframe,
     rx = reduce_set(template_vals_x, coords_x, jac_x, mask_x)
     ry = reduce_set(template_vals_y, coords_y, jac_y, mask_y)
     return (rx + ry) * 0.5
+
+
+# --------------------------------------------------------------------------
+# Gather-free window-based variants (the TPU fast path — see ops/patches.py).
+# The gather-based versions above are the semantic oracles; the window
+# variants are tested against them in test_kernels.py.
+# --------------------------------------------------------------------------
+
+from video_stabilizer_tpu.ops.patches import (  # noqa: E402
+    sample_windows,
+    warp_rel_positions,
+)
+
+
+def sparse_warpdiff_windows(template_vals, windows, coords, t_ul, ox, oy):
+    """|warped - template| per keypoint, sampling from pre-extracted
+    keyframe windows instead of gathering from the image."""
+    p = windows.shape[-1]
+    rel_x, rel_y = warp_rel_positions(coords, t_ul, ox, oy, p)
+    warped = sample_windows(windows, rel_x, rel_y)
+    return jnp.abs(warped - template_vals.astype(jnp.float32))
+
+
+def sparse_ica_windows(template_vals_x, template_vals_y, windows,
+                       coords_x, coords_y, jac_x, jac_y, mask_x, mask_y,
+                       t_ul, ox, oy, dtype=jnp.float32):
+    """Gauss-Newton RHS from pre-extracted keyframe windows. Zero gathers:
+    the GN inner loop is batched small matvecs only."""
+    p = windows.shape[-1]
+
+    def reduce_set(template_vals, coords, jac, mask):
+        rel_x, rel_y = warp_rel_positions(coords, t_ul, ox, oy, p)
+        warped = sample_windows(windows, rel_x, rel_y)
+        residual = (template_vals.astype(jnp.float32) - warped) * mask
+        return jnp.einsum("hwc,hw->c", jac.astype(dtype),
+                          residual.astype(dtype))
+
+    rx = reduce_set(template_vals_x, coords_x, jac_x, mask_x)
+    ry = reduce_set(template_vals_y, coords_y, jac_y, mask_y)
+    return (rx + ry) * 0.5
