@@ -104,6 +104,12 @@ class StabilizerParams:
     # polynomial Lanczos2 kernel (the north-star bgr_image_warp).
     output_interp: str = "bilinear"
 
+    # Static per-pixel residual bound of the gather-free output warp
+    # (ops/fast_warp.py): covers |A,B| * image_radius + 1 px of
+    # rotation/zoom fringe after bulk-translation removal. 6 px spans
+    # |B| <= ~0.005 at 1080p; raise for extreme rotational corrections.
+    output_residual_bound: int = 6
+
 
 def pyramid_shapes(width: int, height: int, params: AlignerParams) -> Tuple[Tuple[int, int], ...]:
     """Static (width, height) of each pyramid level.

@@ -54,16 +54,14 @@ from video_stabilizer_tpu.ops import (
 )
 from video_stabilizer_tpu.ops.linalg import regularized_pinv_sym4
 from video_stabilizer_tpu.ops.patches import (
-    extract_tile_windows,
-    window_origins,
+    extract_tile_windows_flat,
+    sample_windows_flat,
+    warp_rel_positions_flat,
+    window_origins_flat,
     window_size,
 )
 from video_stabilizer_tpu.ops.phase_corr import phase_correlate
 from video_stabilizer_tpu.ops.select import histogram_mask, topk_mask
-from video_stabilizer_tpu.ops.sparse import (
-    sparse_ica_windows,
-    sparse_warpdiff_windows,
-)
 
 # Alternating keyframe constants (alignment.hpp:61-66).
 KEYFRAME_INDEX = 1
@@ -99,14 +97,15 @@ def level_specs(width: int, height: int, params: AlignerParams) -> Tuple[LevelSp
 class LevelKeyData(NamedTuple):
     """Per-level keyframe precompute (alignment.cpp:237-276), plus the
     pre-extracted sampling windows (the TPU-native replacement for the
-    per-iteration random-access reads of the keyframe — ops/patches.py)."""
+    per-iteration random-access reads of the keyframe — ops/patches.py).
+
+    Hot-loop arrays use the FLAT layout: the tile grid (N = Ht*Wt) on the
+    minor axis, X/Y keypoint sets stacked on a leading axis of 2."""
     idx_x: jnp.ndarray     # (ht, wt) int32 flat within-tile argmax, X set
-    coords_x: jnp.ndarray  # (ht, wt, 2) int32 absolute (x, y)
-    jac_x: jnp.ndarray     # (ht, wt, 4) float
     idx_y: jnp.ndarray
-    coords_y: jnp.ndarray
-    jac_y: jnp.ndarray
-    windows: jnp.ndarray   # (ht, wt, P, P) bf16 keyframe windows
+    coords: jnp.ndarray    # (2 xy, 2 sets, N) float32 keypoint coordinates
+    jac: jnp.ndarray       # (4, 2 sets, N) float Jacobian rows
+    windows: jnp.ndarray   # (P, P, N) bf16 keyframe windows
 
 
 class AlignerState(NamedTuple):
@@ -126,15 +125,13 @@ def init_state(width: int, height: int, params: AlignerParams) -> AlignerState:
     key = tuple(
         LevelKeyData(
             idx_x=jnp.zeros((s.ht, s.wt), jnp.int32),
-            coords_x=jnp.zeros((s.ht, s.wt, 2), jnp.int32),
-            jac_x=jnp.zeros((s.ht, s.wt, 4), dtype),
             idx_y=jnp.zeros((s.ht, s.wt), jnp.int32),
-            coords_y=jnp.zeros((s.ht, s.wt, 2), jnp.int32),
-            jac_y=jnp.zeros((s.ht, s.wt, 4), dtype),
+            coords=jnp.zeros((2, 2, s.ht * s.wt), jnp.float32),
+            jac=jnp.zeros((4, 2, s.ht * s.wt), dtype),
             windows=jnp.zeros(
-                (s.ht, s.wt,
+                (window_size(s.tile, s.margin),
                  window_size(s.tile, s.margin),
-                 window_size(s.tile, s.margin)), jnp.bfloat16),
+                 s.ht * s.wt), jnp.bfloat16),
         ) for s in specs)
     return AlignerState(
         pyramid=pyramid,
@@ -153,11 +150,32 @@ def _compute_keyframe(key_imgs, specs, params) -> Tuple[LevelKeyData, ...]:
         idx_x, coords_x, idx_y, coords_y = grad_argmax(gx, gy, s.tile)
         gval_x = take_at_tile_argmax(gx, idx_x, s.tile)
         gval_y = take_at_tile_argmax(gy, idx_y, s.tile)
-        jac_x, jac_y = sparse_jacobian(
-            gval_x, gval_y, coords_x, coords_y, s.width, s.height, dtype=dtype)
-        windows = extract_tile_windows(img, s.tile, s.margin)
-        out.append(LevelKeyData(idx_x, coords_x, jac_x, idx_y, coords_y,
-                                jac_y, windows))
+        # Jacobian rows built DIRECTLY in the flat (4, set, N) hot-loop
+        # layout (generators.cpp:332-423 semantics — see ops/sparse.py's
+        # grid-layout twin): stacking per-row avoids a hostile [4*2*N]
+        # transpose that cost ~0.6ms/level on TPU.
+        n = s.ht * s.wt
+        cx_l, cy_l = s.width * 0.5, s.height * 0.5
+        scale = 1.0 / s.width
+        gx_f = (2.0 * gval_x.reshape(n)).astype(dtype)
+        gy_f = (2.0 * gval_y.reshape(n)).astype(dtype)
+        ux = coords_x[..., 0].reshape(n).astype(dtype) - cx_l
+        vx = coords_x[..., 1].reshape(n).astype(dtype) - cy_l
+        uy = coords_y[..., 0].reshape(n).astype(dtype) - cx_l
+        vy = coords_y[..., 1].reshape(n).astype(dtype) - cy_l
+        zero = jnp.zeros((n,), dtype)
+        jac = jnp.stack([
+            jnp.stack([gx_f * ux * scale, gy_f * vy * scale]),
+            jnp.stack([gx_f * (-vx) * scale, gy_f * uy * scale]),
+            jnp.stack([gx_f, zero]),
+            jnp.stack([zero, gy_f]),
+        ])                                                    # (4, set, N)
+        coords = jnp.stack([
+            jnp.stack([ux + cx_l, uy + cx_l]),
+            jnp.stack([vx + cy_l, vy + cy_l]),
+        ])                                                    # (xy, set, N)
+        windows = extract_tile_windows_flat(img, s.tile, s.margin)
+        out.append(LevelKeyData(idx_x, idx_y, coords, jac, windows))
     return tuple(out)
 
 
@@ -182,6 +200,14 @@ def _gn_corners(spec, dtype):
     return jnp.asarray([[0.0, 0.0], [w, 0.0], [0.0, h], [w, h]], dtype)
 
 
+# GN iterations unrolled per while_loop step: cuts the sequential loop
+# depth 4x (convergence is still checked after every iteration — updates
+# past convergence are masked out, so semantics match the reference's
+# per-iteration break exactly; at most CHUNK-1 masked iterations of extra
+# flops, which are nearly free on the VPU).
+GN_CHUNK = 4
+
+
 def _align_level(spec: LevelSpec, key: LevelKeyData, template_img, keyframe_img,
                  transform, params: AlignerParams):
     """One pyramid level: warpdiff selection, Hessian, GN while_loop.
@@ -189,54 +215,85 @@ def _align_level(spec: LevelSpec, key: LevelKeyData, template_img, keyframe_img,
     Returns (transform_out, level_failed). transform_out is pre-upscale on
     failure (matching the reference's early return) and TX/TY-doubled on
     success for levels > 0 (alignment.cpp:683-687).
+
+    The X- and Y-gradient keypoint sets are stacked on a leading axis of 2
+    so every sampling/reduction is one fused op over both sets.
     """
     dtype = jnp.dtype(params.dtype)
     w, h = spec.width, spec.height
     cx, cy = w * 0.5, h * 0.5
+    n = spec.ht * spec.wt
 
     # Template intensities at the keyframe's argmax coords — a per-tile
     # take_along_axis, not a gather (see ops/argmax.py).
-    tmpl_x = take_at_tile_argmax(template_img, key.idx_x, spec.tile).astype(dtype)
-    tmpl_y = take_at_tile_argmax(template_img, key.idx_y, spec.tile).astype(dtype)
+    tmpl_x = take_at_tile_argmax(template_img, key.idx_x, spec.tile)
+    tmpl_y = take_at_tile_argmax(template_img, key.idx_y, spec.tile)
+    tmpl = jnp.stack([tmpl_x, tmpl_y]).reshape(2, n).astype(dtype)  # (2, N)
+    fx = key.coords[0]                                 # (2, N)
+    fy = key.coords[1]
+    jac = key.jac                                      # (4, 2, N)
+    p = key.windows.shape[0]
 
-    ox, oy = window_origins(spec.ht, spec.wt, spec.tile, spec.margin)
+    ox, oy = window_origins_flat(spec.ht, spec.wt, spec.tile, spec.margin)
 
     # Warp-diff robustness signal at the incoming transform
     # (alignment.cpp:409-431; center convention W*0.5, imgproc.cpp:100-103).
     t_ul0 = T.center_to_ul(transform, w, h, minus_one=False)
-    wd_x = sparse_warpdiff_windows(tmpl_x, key.windows, key.coords_x, t_ul0,
-                                   ox, oy)
-    wd_y = sparse_warpdiff_windows(tmpl_y, key.windows, key.coords_y, t_ul0,
-                                   ox, oy)
-    mask_x = _selection_mask(wd_x, params).astype(dtype)
-    mask_y = _selection_mask(wd_y, params).astype(dtype)
+    rel_x0, rel_y0 = warp_rel_positions_flat(fx, fy, t_ul0, ox, oy, p)
+    wd = jnp.abs(sample_windows_flat(key.windows, rel_x0, rel_y0) - tmpl)
+    mask = jnp.stack([
+        _selection_mask(wd[0], params),
+        _selection_mask(wd[1], params)]).astype(dtype)  # (2, N)
 
     # Gauss-Newton Hessian over both selected sets (alignment.cpp:278-332,
-    # 548-551) and its regularized inverse — both on device.
-    H = (jnp.einsum("hwi,hwj,hw->ij", key.jac_x, key.jac_x, mask_x)
-         + jnp.einsum("hwi,hwj,hw->ij", key.jac_y, key.jac_y, mask_y))
+    # 548-551) and its regularized inverse — both on device. Explicit
+    # mul-reduce per (symmetric) entry — a 4x4-output dot_general lowers
+    # with degenerate layouts on TPU.
+    jm = jac * mask                                    # (4, 2, N)
+    rows = []
+    for i in range(4):
+        rows.append(jnp.stack(
+            [jnp.sum(jm[i] * jac[j]) for j in range(4)]))
+    H = jnp.stack(rows)
     Hinv = regularized_pinv_sym4(H)
+
+    # ICA's X/Y-set average (generators.cpp:595) folded into the mask.
+    jac_masked = jac * (mask * 0.5)                    # (4, 2, N)
 
     corners = _gn_corners(spec, dtype)
     corners0 = T.warp_points_center(transform, corners, cx, cy)
     jac_scale = jnp.asarray(1.0 / w, dtype)  # undo 1/width rows (alignment.cpp:627-635)
+
+    def ica_rhs(t):
+        t_ul = T.center_to_ul(t, w, h, minus_one=False)
+        rel_x, rel_y = warp_rel_positions_flat(fx, fy, t_ul, ox, oy, p)
+        warped = sample_windows_flat(key.windows, rel_x, rel_y)
+        residual = tmpl - warped
+        return jnp.stack([jnp.sum(jac_masked[i] * residual)
+                          for i in range(4)])
 
     def gn_cond(carry):
         _, _, it, converged = carry
         return jnp.logical_and(jnp.logical_not(converged), it < params.max_iters)
 
     def gn_body(carry):
-        t, prev_corners, it, _ = carry
-        t_ul = T.center_to_ul(t, w, h, minus_one=False)
-        b = sparse_ica_windows(tmpl_x, tmpl_y, key.windows, key.coords_x,
-                               key.coords_y, key.jac_x, key.jac_y,
-                               mask_x, mask_y, t_ul, ox, oy, dtype=dtype)
-        dt = Hinv @ b
-        delta = jnp.stack([dt[0] * jac_scale, dt[1] * jac_scale, dt[2], dt[3]])
-        t_new = T.compose(delta, t)  # delta first, then t (alignment.cpp:639)
-        new_corners = T.warp_points_center(t_new, corners, cx, cy)
-        disp12 = jnp.max(jnp.linalg.norm(new_corners - prev_corners, axis=-1))
-        return (t_new, new_corners, it + 1, disp12 < params.threshold)
+        t, prev_corners, it, conv = carry
+        for j in range(GN_CHUNK):
+            b = ica_rhs(t)
+            dt = Hinv @ b
+            delta = jnp.stack([dt[0] * jac_scale, dt[1] * jac_scale,
+                               dt[2], dt[3]])
+            t_new = T.compose(delta, t)  # delta first (alignment.cpp:639)
+            new_corners = T.warp_points_center(t_new, corners, cx, cy)
+            disp12 = jnp.max(
+                jnp.linalg.norm(new_corners - prev_corners, axis=-1))
+            do = jnp.logical_and(jnp.logical_not(conv),
+                                 it + j < params.max_iters)
+            t = jnp.where(do, t_new, t)
+            prev_corners = jnp.where(do, new_corners, prev_corners)
+            conv = jnp.logical_or(
+                conv, jnp.logical_and(do, disp12 < params.threshold))
+        return (t, prev_corners, it + GN_CHUNK, conv)
 
     t_final, corners1, iters, converged = jax.lax.while_loop(
         gn_cond, gn_body,

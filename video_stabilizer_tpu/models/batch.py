@@ -236,21 +236,25 @@ def stabilize_clip_impl(frames_bgr, params: StabilizerParams,
         # (see ops/warp.py direction note). Gather-free fast path.
         t_ul = T.center_to_ul(accum.astype(jnp.float32), width, height,
                               minus_one=True)
-        out = warp_image_fast(frame, t_ul, interp=params.output_interp)
+        out = warp_image_fast(frame, t_ul, interp=params.output_interp,
+                              residual_bound=params.output_residual_bound)
         if c > 0:
             out = out[c:-c, c:-c]
         return out
 
-    stabilized = jax.vmap(warp_one)(delayed, accums)
+    # Sequential over output frames (lax.map == scan): each frame's warp has
+    # ~30 MB of f32 intermediates, so vmapping all frames at once OOMs at
+    # 1080p x many streams; under the stream-vmap this still runs one warp
+    # per stream in parallel per step.
+    stabilized = jax.lax.map(lambda args: warp_one(*args), (delayed, accums))
     return stabilized, meas, success
 
 
 def _bgr_to_gray_batched(frames):
     if frames.ndim == 3:
         return frames
-    f = frames.astype(jnp.float32)
-    gray = 0.114 * f[..., 0] + 0.587 * f[..., 1] + 0.299 * f[..., 2]
-    return jnp.round(gray).astype(jnp.uint8)
+    from video_stabilizer_tpu.models.stabilizer import bgr_to_gray
+    return bgr_to_gray(frames)
 
 
 @functools.partial(jax.jit, static_argnames=("params", "width", "height"))

@@ -48,33 +48,36 @@ def tvl1_smooth(data, lam, iterations: int = 100, valid_len=None):
     if valid_len is None:
         valid_len = n
     valid_len = jnp.asarray(valid_len, jnp.int32)
+    tiny = jnp.finfo(data.dtype).tiny
 
-    def pair_update(i, x):
-        # One Gauss-Seidel pair (i, i+1) (smoother.cpp:42-60).
-        xi = jax.lax.dynamic_slice_in_dim(x, i, 1, axis=-1)
-        xj = jax.lax.dynamic_slice_in_dim(x, i + 1, 1, axis=-1)
-        diff = xj - xi
-        mag = jnp.abs(diff)
-        shrink = (mag - lam) / jnp.maximum(mag, jnp.finfo(x.dtype).tiny) * 0.5
-        mid = 0.5 * (xi + xj)
-        new_i = jnp.where(mag > lam, xi + diff * shrink, mid)
-        new_j = jnp.where(mag > lam, xj - diff * shrink, mid)
-        # Mask out pairs beyond the valid prefix.
-        active = (i + 1) < valid_len
-        new_i = jnp.where(active, new_i, xi)
-        new_j = jnp.where(active, new_j, xj)
-        x = jax.lax.dynamic_update_slice_in_dim(x, new_i, i, axis=-1)
-        x = jax.lax.dynamic_update_slice_in_dim(x, new_j, i + 1, axis=-1)
-        return x
+    # The Gauss-Seidel sweep is inherently sequential over the window, but
+    # the window is tiny (<= 16) and static. Represent the window as a TUPLE
+    # of n column arrays: every pair update becomes pure dataflow between
+    # two Python variables — no dynamic-update-slice, no .at[].set scatter;
+    # XLA fuses each 100-iteration body into a handful of kernels.
+    data_cols = tuple(data[..., i] for i in range(n))
+    active = tuple((i + 1) < valid_len for i in range(n - 1))
 
-    def iteration(_, x):
+    def iteration(cols, _):
         # (a) relax toward data, alpha = 0.5 (smoother.cpp:29-38)
-        x = 0.5 * x + 0.5 * data
+        cols = [0.5 * c + 0.5 * d for c, d in zip(cols, data_cols)]
         # (b) sequential pairwise TV shrinkage (smoother.cpp:41-60)
-        x = jax.lax.fori_loop(0, n - 1, pair_update, x)
-        return x
+        for i in range(n - 1):
+            xi, xj = cols[i], cols[i + 1]
+            diff = xj - xi
+            mag = jnp.abs(diff)
+            shrink = (mag - lam) / jnp.maximum(mag, tiny) * 0.5
+            mid = 0.5 * (xi + xj)
+            take = mag > lam
+            new_i = jnp.where(take, xi + diff * shrink, mid)
+            new_j = jnp.where(take, xj - diff * shrink, mid)
+            # Pairs beyond the valid prefix are inert.
+            cols[i] = jnp.where(active[i], new_i, xi)
+            cols[i + 1] = jnp.where(active[i], new_j, xj)
+        return tuple(cols), None
 
-    return jax.lax.fori_loop(0, iterations, iteration, data)
+    out_cols, _ = jax.lax.scan(iteration, data_cols, None, length=iterations)
+    return jnp.stack(out_cols, axis=-1)
 
 
 def tvl1_smooth_np(data, lam, iterations: int = 100):

@@ -84,8 +84,9 @@ def decay_factor(displacement, params: StabilizerParams):
 
 
 def bgr_to_gray(frame_bgr):
-    """BGR u8 -> gray u8 with OpenCV's integer-rounding weights
-    (cvtColor BGR2GRAY: 0.114 B + 0.587 G + 0.299 R, rounded)."""
+    """BGR u8 -> gray u8 matching OpenCV 5.x cvtColor BGR2GRAY (full-float
+    0.114*B + 0.587*G + 0.299*R, rounded — NOT the legacy 14-bit fixed
+    point, which differs by 1 LSB on ~0.2% of pixels)."""
     f = frame_bgr.astype(jnp.float32)
     gray = 0.114 * f[..., 0] + 0.587 * f[..., 1] + 0.299 * f[..., 2]
     return jnp.round(gray).astype(jnp.uint8)
@@ -125,8 +126,10 @@ class VideoStabilizer:
         t_ul = T.center_to_ul(t, w, h, minus_one=True)
         if self._warp_fn is None:
             interp = self.params.output_interp
+            rb = self.params.output_residual_bound
             self._warp_fn = jax.jit(
-                lambda img, tt: warp_image_fast(img, tt, interp=interp))
+                lambda img, tt: warp_image_fast(img, tt, interp=interp,
+                                                residual_bound=rb))
         return self._warp_fn(frame_dev, t_ul)
 
     def process_frame(self, frame_bgr):

@@ -75,11 +75,13 @@ def warp_image_fast(img, t_sample_ul, interp: str = "bilinear",
 
     # Zero-padded source; one dynamic_slice re-centers the bulk shift and
     # leaves a halo for the residual taps. (zero border == cv BORDER_CONSTANT)
+    # base stays in the input dtype (u8): each tap read converts on the fly,
+    # keeping the 2m+2 passes' HBM traffic at 1 byte/px.
     big = jnp.pad(img, ((max_shift, max_shift), (max_shift, max_shift),
                         (0, 0)))
     base = jax.lax.dynamic_slice(
         big, (max_shift + k0y - halo, max_shift + k0x - halo, 0),
-        (h + 2 * halo, w + 2 * halo, c)).astype(f32)
+        (h + 2 * halo, w + 2 * halo, c))
 
     # Residual positions on an x-extended grid (the y-pass output must cover
     # the x-pass taps' columns).
@@ -97,8 +99,12 @@ def warp_image_fast(img, t_sample_ul, interp: str = "bilinear",
     den_y = jnp.zeros((h, w + 2 * halo), f32)
     for d in range(lo, hi):
         wgt = weight(ry_ext - d)
-        tmp = tmp + wgt[..., None] * base[halo + d : halo + d + h, :, :]
+        tmp = tmp + wgt[..., None] * base[halo + d : halo + d + h, :, :].astype(f32)
         den_y = den_y + wgt
+    # bf16 intermediate halves the x-pass traffic; u8 integers are exact in
+    # bf16, so integer translations stay bit-exact and subpixel paths lose
+    # <0.5 intensity.
+    tmp = tmp.astype(jnp.bfloat16)
 
     # X pass: out[y, x] = sum_e weight(rx[y,x] - e) * tmp[y, x + e].
     xs = jnp.arange(w, dtype=f32)
@@ -108,7 +114,7 @@ def warp_image_fast(img, t_sample_ul, interp: str = "bilinear",
     den_x = jnp.zeros((h, w), f32)
     for e in range(lo, hi):
         wgt = weight(rx - e)
-        out = out + wgt[..., None] * tmp[:, halo + e : halo + e + w, :]
+        out = out + wgt[..., None] * tmp[:, halo + e : halo + e + w, :].astype(f32)
         den_x = den_x + wgt * den_y[:, halo + e : halo + e + w]
 
     if interp != "bilinear":

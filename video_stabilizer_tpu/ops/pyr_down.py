@@ -21,33 +21,42 @@ import jax.numpy as jnp
 
 # [1, 4, 6, 4, 1] / 16 (generators.cpp:68)
 _COEFFS = (1.0 / 16, 4.0 / 16, 6.0 / 16, 4.0 / 16, 1.0 / 16)
+_COEFFS_INT = (1, 4, 6, 4, 1)
 
 
 def pyr_down(img, out_dtype=jnp.uint8):
     """Downsample by 2x with a 5-tap Gaussian, repeat-edge boundary.
 
+    For u8 inputs this runs in exact int32 fixed point: the reference's f32
+    path is exact dyadic arithmetic (products of k/16 values, sums < 2^24),
+    so floor(sum / 256) is BIT-IDENTICAL to the Halide kernel's truncating
+    cast (generators.cpp:91) while skipping the f32 round trip.
+
     Args:
       img: (..., H, W) uint8 (or float) image(s).
     Returns:
-      (..., H//2, W//2) image(s) of ``out_dtype``. The float->u8 cast
-      truncates toward zero, matching Halide's C-style cast
-      (generators.cpp:91).
+      (..., H//2, W//2) image(s) of ``out_dtype``.
     """
     h, w = img.shape[-2], img.shape[-1]
     h2, w2 = h // 2, w // 2
+    pad = [(0, 0)] * (img.ndim - 2) + [(2, 2), (2, 2)]
 
-    x = img.astype(jnp.float32)
-    pad = [(0, 0)] * (x.ndim - 2) + [(2, 2), (2, 2)]
-    x = jnp.pad(x, pad, mode="edge")
+    if img.dtype == jnp.uint8 and jnp.issubdtype(jnp.dtype(out_dtype),
+                                                 jnp.integer):
+        x = jnp.pad(img, pad, mode="edge").astype(jnp.int32)
+        rowblur = sum(
+            c * x[..., i : i + 2 * h2 : 2, :]
+            for i, c in enumerate(_COEFFS_INT))
+        out = sum(
+            c * rowblur[..., :, j : j + 2 * w2 : 2]
+            for j, c in enumerate(_COEFFS_INT))
+        return (out // 256).astype(out_dtype)
 
-    # Blur + decimate rows: rowblur[..., y, c] = sum_i c_i x[..., 2y+i, c]
+    x = jnp.pad(img.astype(jnp.float32), pad, mode="edge")
     rowblur = sum(
-        c * x[..., i : i + 2 * h2 : 2, :] for i, c in enumerate(_COEFFS)
-    )
-    # Blur + decimate cols: out[..., y, x] = sum_j c_j rowblur[..., y, 2x+j]
+        c * x[..., i : i + 2 * h2 : 2, :] for i, c in enumerate(_COEFFS))
     out = sum(
-        c * rowblur[..., :, j : j + 2 * w2 : 2] for j, c in enumerate(_COEFFS)
-    )
+        c * rowblur[..., :, j : j + 2 * w2 : 2] for j, c in enumerate(_COEFFS))
     return out.astype(out_dtype)
 
 
