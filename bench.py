@@ -34,7 +34,7 @@ def main():
 
     height = int(os.environ.get("BENCH_HEIGHT", "1080"))
     width = int(os.environ.get("BENCH_WIDTH", "1920"))
-    streams = int(os.environ.get("BENCH_STREAMS", "4"))
+    streams = int(os.environ.get("BENCH_STREAMS", "8"))
     frames = int(os.environ.get("BENCH_FRAMES", "16"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
 
