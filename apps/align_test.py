@@ -64,7 +64,9 @@ def test_pyr_down(img, out_dir, failures):
         t = T.make(0.0, 0.0, *shift)
         warped = image_warp(lvl, T.inverse(t)).astype(jnp.float32)
         det, resp = phase_correlate(lvl.astype(jnp.float32), warped)
-        err = np.hypot(float(det[0]) - shift[0], float(det[1]) - shift[1])
+        # phase_correlate returns the align-back shift (= -content motion);
+        # see ops/phase_corr.py sign-convention note.
+        err = np.hypot(float(det[0]) + shift[0], float(det[1]) + shift[1])
         check(f"level {i} phase-correlate shift recovery ({err:.3f}px)",
               err < 0.5, failures)
 
@@ -132,7 +134,14 @@ def main():
     ap.add_argument("--input", help="input image (grayscale or color)")
     ap.add_argument("--template", help="template image for pair alignment")
     ap.add_argument("--out", default="output", help="artifact directory")
+    ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu"],
+                    help="cpu (default: this is a correctness demo with "
+                         "many one-off shapes; TPU compile dominates) or tpu")
     args = ap.parse_args()
+
+    import jax
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     import cv2
     from video_stabilizer_tpu.utils.io import natural_texture

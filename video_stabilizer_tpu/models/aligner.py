@@ -94,6 +94,24 @@ def level_specs(width: int, height: int, params: AlignerParams) -> Tuple[LevelSp
     return tuple(specs)
 
 
+class DynAlignParams(NamedTuple):
+    """The aligner's dynamic (traced) parameters: sweepable with vmap over
+    hyperparameter combos with zero recompiles (the TPU-native replacement
+    for the reference's thread-pool grid search, grid_search_align.cpp:159-210).
+    """
+    threshold: jnp.ndarray            # GN step convergence (px)
+    smallest_fraction: jnp.ndarray    # keypoint keep fraction
+    max_displacement: jnp.ndarray     # per-level failure bound (px)
+
+
+def make_dyn_params(params: AlignerParams, dtype=jnp.float32) -> DynAlignParams:
+    return DynAlignParams(
+        threshold=jnp.asarray(params.threshold, dtype),
+        smallest_fraction=jnp.asarray(params.smallest_fraction, dtype),
+        max_displacement=jnp.asarray(params.max_displacement, dtype),
+    )
+
+
 class LevelKeyData(NamedTuple):
     """Per-level keyframe precompute (alignment.cpp:237-276), plus the
     pre-extracted sampling windows (the TPU-native replacement for the
@@ -179,17 +197,17 @@ def _compute_keyframe(key_imgs, specs, params) -> Tuple[LevelKeyData, ...]:
     return tuple(out)
 
 
-def _selection_mask(wd, params: AlignerParams):
+def _selection_mask(wd, params: AlignerParams, dyn: DynAlignParams):
     """The smallest-`smallest_fraction` keypoint subset as a 0/1 mask.
 
     Replaces nth_element + resize (alignment.cpp:460-492). "mask" uses the
     integer-binned histogram threshold (reference-like u16 binning, ties
-    kept — ops/select.py); "topk" keeps exactly floor(N * fraction)
-    elements like the reference.
+    kept — ops/select.py) with a TRACED fraction; "topk" keeps exactly
+    floor(N * fraction) elements like the reference (static fraction).
     """
     if params.selection == "topk":
         return topk_mask(wd, params.smallest_fraction)
-    return histogram_mask(wd, params.smallest_fraction)
+    return histogram_mask(wd, dyn.smallest_fraction)
 
 
 def _gn_corners(spec, dtype):
@@ -209,7 +227,7 @@ GN_CHUNK = 4
 
 
 def _align_level(spec: LevelSpec, key: LevelKeyData, template_img, keyframe_img,
-                 transform, params: AlignerParams):
+                 transform, params: AlignerParams, dyn: DynAlignParams):
     """One pyramid level: warpdiff selection, Hessian, GN while_loop.
 
     Returns (transform_out, level_failed). transform_out is pre-upscale on
@@ -242,8 +260,8 @@ def _align_level(spec: LevelSpec, key: LevelKeyData, template_img, keyframe_img,
     rel_x0, rel_y0 = warp_rel_positions_flat(fx, fy, t_ul0, ox, oy, p)
     wd = jnp.abs(sample_windows_flat(key.windows, rel_x0, rel_y0) - tmpl)
     mask = jnp.stack([
-        _selection_mask(wd[0], params),
-        _selection_mask(wd[1], params)]).astype(dtype)  # (2, N)
+        _selection_mask(wd[0], params, dyn),
+        _selection_mask(wd[1], params, dyn)]).astype(dtype)  # (2, N)
 
     # Gauss-Newton Hessian over both selected sets (alignment.cpp:278-332,
     # 548-551) and its regularized inverse — both on device. Explicit
@@ -292,7 +310,7 @@ def _align_level(spec: LevelSpec, key: LevelKeyData, template_img, keyframe_img,
             t = jnp.where(do, t_new, t)
             prev_corners = jnp.where(do, new_corners, prev_corners)
             conv = jnp.logical_or(
-                conv, jnp.logical_and(do, disp12 < params.threshold))
+                conv, jnp.logical_and(do, disp12 < dyn.threshold))
         return (t, prev_corners, it + GN_CHUNK, conv)
 
     t_final, corners1, iters, converged = jax.lax.while_loop(
@@ -303,7 +321,7 @@ def _align_level(spec: LevelSpec, key: LevelKeyData, template_img, keyframe_img,
     # Failure 2: total level displacement > max_displacement (670-677).
     disp01 = jnp.max(jnp.linalg.norm(corners1 - corners0, axis=-1))
     level_failed = jnp.logical_or(
-        jnp.logical_not(converged), disp01 > params.max_displacement)
+        jnp.logical_not(converged), disp01 > dyn.max_displacement)
 
     # TX/TY double when moving up a level (alignment.cpp:683-687); the caller
     # applies it only on success and only for levels > 0.
@@ -311,30 +329,40 @@ def _align_level(spec: LevelSpec, key: LevelKeyData, template_img, keyframe_img,
     return t_final, t_up, level_failed, iters
 
 
-def _phase_init(state_pyramid, curr, specs, params, dtype):
-    """Optional phase-correlation TX/TY init (alignment.cpp:369-388)."""
-    num_levels = len(specs)
+def phase_init_pair(img_prev, img_curr, num_levels, params, dtype,
+                    is_keyframe):
+    """Phase-correlation TX/TY init from two phase-level images
+    (alignment.cpp:369-388). ``is_keyframe`` may be a traced bool.
+
+    The scale factor is the reference's (1<<PhaseLevel)/(1<<PyramidLevels)
+    (alignment.cpp:380) — note the denominator is 2^L, not 2^(L-1), i.e. an
+    implicit extra 0.5 damping; replicated as-is.
+    """
     lvl = min(PHASE_LEVEL, num_levels - 1)
-    prev = 1 - curr
-    img_prev = state_pyramid[lvl][prev].astype(jnp.float32)
-    img_curr = state_pyramid[lvl][curr].astype(jnp.float32)
-    shift, response = phase_correlate(img_prev, img_curr)
-    # The reference's scale factor (1<<PhaseLevel)/(1<<PyramidLevels)
-    # (alignment.cpp:380) — note the denominator is 2^L, not 2^(L-1), i.e.
-    # an implicit extra 0.5 damping; replicated as-is.
+    shift, response = phase_correlate(img_prev.astype(jnp.float32),
+                                      img_curr.astype(jnp.float32))
     scale = (1 << lvl) / float(1 << num_levels)
-    tx = shift[0] * scale
-    ty = shift[1] * scale
     # Sign flip on keyframes (alignment.cpp:383-386).
-    flip = jnp.where(curr == KEYFRAME_INDEX, -1.0, 1.0)
+    flip = jnp.where(is_keyframe, -1.0, 1.0)
     ok = response > params.phase_correlate_threshold
-    t = jnp.stack([jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
-                   tx * flip, ty * flip]).astype(dtype)
+    zero = jnp.zeros((), jnp.float32)
+    t = jnp.stack([zero, zero, shift[0] * scale * flip,
+                   shift[1] * scale * flip]).astype(dtype)
     return jnp.where(ok, t, T.identity(dtype))
 
 
+def _phase_init(state_pyramid, curr, specs, params, dtype):
+    """Streaming-state wrapper for phase_init_pair."""
+    num_levels = len(specs)
+    lvl = min(PHASE_LEVEL, num_levels - 1)
+    prev = 1 - curr
+    return phase_init_pair(state_pyramid[lvl][prev], state_pyramid[lvl][curr],
+                           num_levels, params, dtype,
+                           curr == KEYFRAME_INDEX)
+
+
 def align_all_levels(template_pyr, keyframe_pyr, key, specs,
-                     params: AlignerParams, t_init):
+                     params: AlignerParams, t_init, dyn: DynAlignParams = None):
     """The coarse-to-fine level loop (alignment.cpp:390-688), statically
     unrolled. Shared by the streaming and batched pipelines.
 
@@ -347,12 +375,14 @@ def align_all_levels(template_pyr, keyframe_pyr, key, specs,
       (transform, failed): the *pre-inversion* transform, frozen at the
       failure point like the reference's early returns.
     """
+    if dyn is None:
+        dyn = make_dyn_params(params, jnp.dtype(params.dtype))
     transform = t_init
     failed = jnp.zeros((), bool)
     for lvl in range(len(specs) - 1, -1, -1):
         t_raw, t_up, level_failed, _ = _align_level(
             specs[lvl], key[lvl], template_pyr[lvl], keyframe_pyr[lvl],
-            transform, params)
+            transform, params, dyn)
         t_next = jnp.where(level_failed, t_raw, t_up) if lvl > 0 else t_raw
         transform = jnp.where(failed, transform, t_next)
         failed = jnp.logical_or(failed, level_failed)

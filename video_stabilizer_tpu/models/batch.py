@@ -29,8 +29,10 @@ import jax.numpy as jnp
 from video_stabilizer_tpu import transforms as T
 from video_stabilizer_tpu.config import AlignerParams, StabilizerParams
 from video_stabilizer_tpu.models.aligner import (
+    PHASE_LEVEL,
     align_all_levels,
     level_specs,
+    phase_init_pair,
     _compute_keyframe,
 )
 from video_stabilizer_tpu.models.smoother import tvl1_smooth
@@ -43,7 +45,8 @@ class _PairCarry(NamedTuple):
     key: tuple       # per-level LevelKeyData
 
 
-def _align_pair_step(carry: _PairCarry, xs, specs, params: AlignerParams):
+def _align_pair_step(carry: _PairCarry, xs, specs, params: AlignerParams,
+                     dyn=None):
     """One scan step = two input frames (alignment.cpp frame indices 2k,
     2k+1): frame_a lands in the non-keyframe buffer (aligned against the
     previous keyframe, result inverted — alignment.cpp:690-693); frame_b
@@ -52,10 +55,17 @@ def _align_pair_step(carry: _PairCarry, xs, specs, params: AlignerParams):
     dtype = jnp.dtype(params.dtype)
     num_levels = len(specs)
 
+    lvl_p = min(PHASE_LEVEL, num_levels - 1)
     pyr_a = tuple(build_pyramid(frame_a, num_levels))
-    # frame_a (non-keyframe): template = itself, keyframe = carried.
+    # frame_a (non-keyframe): template = itself, keyframe = carried (the
+    # previous frame, which is also the phase-correlation's 'prev').
+    if params.phase_correlate:
+        t0_a = phase_init_pair(carry.key_pyr[lvl_p], pyr_a[lvl_p],
+                               num_levels, params, dtype, False)
+    else:
+        t0_a = T.identity(dtype)
     t_a, failed_a = align_all_levels(pyr_a, carry.key_pyr, carry.key, specs,
-                                     params, T.identity(dtype))
+                                     params, t0_a, dyn)
     t_a = jnp.where(failed_a, t_a, T.inverse(t_a))
     ok_a = jnp.logical_and(pair_idx > 0, jnp.logical_not(failed_a))
     t_a = jnp.where(pair_idx > 0, t_a, T.identity(dtype))
@@ -63,8 +73,13 @@ def _align_pair_step(carry: _PairCarry, xs, specs, params: AlignerParams):
     pyr_b = tuple(build_pyramid(frame_b, num_levels))
     key_b = _compute_keyframe(pyr_b, specs, params)
     # frame_b (keyframe): template = frame_a's pyramid.
+    if params.phase_correlate:
+        t0_b = phase_init_pair(pyr_a[lvl_p], pyr_b[lvl_p],
+                               num_levels, params, dtype, True)
+    else:
+        t0_b = T.identity(dtype)
     t_b, failed_b = align_all_levels(pyr_a, pyr_b, key_b, specs, params,
-                                     T.identity(dtype))
+                                     t0_b, dyn)
     ok_b = jnp.logical_not(failed_b)
 
     new_carry = _PairCarry(key_pyr=pyr_b, key=key_b)
@@ -72,7 +87,8 @@ def _align_pair_step(carry: _PairCarry, xs, specs, params: AlignerParams):
                        jnp.stack([ok_a, ok_b]))
 
 
-def align_clip_impl(frames, params: AlignerParams, width: int, height: int):
+def align_clip_impl(frames, params: AlignerParams, width: int, height: int,
+                    dyn=None):
     """Align a whole (T, H, W) u8 clip on device.
 
     Returns (transforms (T, 4), success (T,) bool): per-frame motion from
@@ -95,7 +111,8 @@ def align_clip_impl(frames, params: AlignerParams, width: int, height: int):
             tuple(jnp.zeros((s.height, s.width), jnp.uint8) for s in specs),
             specs, params),
     )
-    step = functools.partial(_align_pair_step, specs=specs, params=params)
+    step = functools.partial(_align_pair_step, specs=specs, params=params,
+                             dyn=dyn)
     _, (t_pairs, ok_pairs) = jax.lax.scan(step, carry0,
                                           (pairs_a, pairs_b, idx))
     transforms_seq = t_pairs.reshape(t_pad, 4)[:t_in]

@@ -5,9 +5,13 @@ initial TX/TY guess for fast pans (alignment.cpp:369-388, default off —
 alignment.hpp:11-12). This is the TPU-native equivalent: rfft2 cross-power
 spectrum, peak + 5x5 weighted-centroid subpixel refinement, all on device.
 
-Convention matches OpenCV: ``phase_correlate(src1, src2)`` returns the
-(dx, dy) such that src2 is src1 translated by (dx, dy) — verified against
-cv2.phaseCorrelate in tests/test_phase_corr.py.
+Sign convention: ``phase_correlate(src1, src2)`` returns the (dx, dy) that
+ALIGNS src2 back onto src1 — i.e. the NEGATIVE of the content displacement
+src1 -> src2. This matches the convention the reference's init formula
+assumes (transform.TX = detected * scale with a flip only on keyframes,
+alignment.cpp:380-386, which is only sign-correct under this convention);
+modern cv2 (5.x) returns the opposite sign (verified in
+tests/test_phase_corr.py).
 """
 
 from __future__ import annotations
