@@ -23,7 +23,21 @@ except Exception:  # pragma: no cover
 
 
 def read_video(path: str, max_frames: Optional[int] = None) -> Iterator[np.ndarray]:
-    """Yield (H, W, 3) BGR u8 frames."""
+    """Yield (H, W, 3) BGR u8 frames. ``.y4m`` files use the native
+    zero-dependency reader (utils/native.py); everything else cv2."""
+    if path.endswith(".y4m"):
+        from video_stabilizer_tpu.utils import native
+
+        if native.available():
+            r = native.Y4MReader(path)
+            try:
+                for n, frame in enumerate(r.frames_bgr()):
+                    if max_frames is not None and n >= max_frames:
+                        break
+                    yield frame
+            finally:
+                r.close()
+            return
     if HAS_CV2:
         cap = cv2.VideoCapture(path)
         try:
