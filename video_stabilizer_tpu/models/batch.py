@@ -152,7 +152,7 @@ def smooth_trajectory(measurements, params: StabilizerParams):
     window = lag_behind + lag_ahead + 1
     n_out = t_total - lag_ahead
     if n_out <= 0:
-        return jnp.zeros((0, 4), measurements.dtype)
+        return jnp.zeros((0, measurements.shape[-1]), measurements.dtype)
 
     ks = jnp.arange(n_out, dtype=jnp.int32)
     starts = jnp.maximum(0, ks - lag_behind)

@@ -34,6 +34,7 @@ from video_stabilizer_tpu.config import StabilizerParams
 from video_stabilizer_tpu.models.aligner import VideoAligner
 from video_stabilizer_tpu.models.smoother import L1SmootherCenter
 from video_stabilizer_tpu.ops.fast_warp import warp_image_fast
+from video_stabilizer_tpu.utils.metrics import time_function
 
 
 # ------------------------- host-side f64 transform algebra -----------------
@@ -140,8 +141,12 @@ class VideoStabilizer:
         h, w = frame_dev.shape[0], frame_dev.shape[1]
         self._frames.append(frame_dev)
 
-        gray = _to_gray(frame_dev)
-        t_meas, ok = self.aligner.align_next_frame(gray)
+        # Instrumentation labels mirror the reference's TIME_FUNCTION
+        # taxonomy (alignment.cpp:150-701); enable with VIDSTAB_METRICS=1.
+        with time_function("ConvertToGray"):
+            gray = _to_gray(frame_dev)
+        with time_function("AlignNextFrame"):
+            t_meas, ok = self.aligner.align_next_frame(gray)
         current_meas = np.asarray(t_meas, np.float64)
         success = bool(ok)
         if not success and self.frame_index > 1:
@@ -151,7 +156,8 @@ class VideoStabilizer:
 
         earliest_smoothed = None
         if self.params.enable_smoother:
-            earliest_smoothed = self.smoother.update(current_meas)
+            with time_function("SmootherUpdate"):
+                earliest_smoothed = self.smoother.update(current_meas)
 
         # Alignment failure resets the accumulator (stabilizer.cpp:39-41).
         if not success:
@@ -176,7 +182,8 @@ class VideoStabilizer:
         if not self._frames:
             return None
         frame_to_stabilize = self._frames.popleft()
-        stabilized = self._warp(frame_to_stabilize, new_accum)
+        with time_function("WarpBySimilarityTransform"):
+            stabilized = self._warp(frame_to_stabilize, new_accum)
 
         c = self.params.crop_pixels
         if c > 0:

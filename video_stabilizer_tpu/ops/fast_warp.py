@@ -39,14 +39,19 @@ def _hat(t):
     return jnp.maximum(0.0, 1.0 - jnp.abs(t))
 
 
-def warp_image_fast(img, t_sample_ul, interp: str = "bilinear",
+def warp_field_fast(img, wx, wy, interp: str = "bilinear",
                     residual_bound: int = 8, max_shift: int = 192,
                     out_dtype=jnp.uint8):
-    """dst(p) = interp(img, W(p)) with zero border, gather-free.
+    """dst(p) = interp(img, (wx(p), wy(p))) with zero border, gather-free.
+
+    Generic over the sample-position fields, so it serves both the
+    similarity output warp and the 8-DOF homography model (any smooth
+    field whose residual after bulk-translation removal stays within
+    ``residual_bound`` works).
 
     Args:
       img: (H, W) or (H, W, C) u8 (or float) image.
-      t_sample_ul: (4,) origin-based *sampling* transform.
+      wx, wy: (H, W) float32 sample positions per output pixel.
       interp: "bilinear" (cv INTER_LINEAR parity) or "lanczos2".
       residual_bound: static bound m on per-pixel displacement after bulk
         translation removal (taps span [-m, m+1]).
@@ -63,14 +68,11 @@ def warp_image_fast(img, t_sample_ul, interp: str = "bilinear",
     halo = m + 2  # taps reach floor(r) + 2 at most (lanczos radius)
     f32 = jnp.float32
 
-    a, b, tx, ty = (t_sample_ul[i].astype(f32) for i in range(4))
-
     # Bulk integer shift = warp displacement at the image center.
-    cx = (w - 1) * 0.5
-    cy = (h - 1) * 0.5
-    k0x = jnp.clip(jnp.round((1.0 + a) * cx - b * cy + tx - cx),
+    cx, cy = (w - 1) // 2, (h - 1) // 2
+    k0x = jnp.clip(jnp.round(wx[cy, cx] - cx),
                    -(max_shift - halo), max_shift - halo).astype(jnp.int32)
-    k0y = jnp.clip(jnp.round(b * cx + (1.0 + a) * cy + ty - cy),
+    k0y = jnp.clip(jnp.round(wy[cy, cx] - cy),
                    -(max_shift - halo), max_shift - halo).astype(jnp.int32)
 
     # Zero-padded source; one dynamic_slice re-centers the bulk shift and
@@ -83,12 +85,13 @@ def warp_image_fast(img, t_sample_ul, interp: str = "bilinear",
         big, (max_shift + k0y - halo, max_shift + k0x - halo, 0),
         (h + 2 * halo, w + 2 * halo, c))
 
-    # Residual positions on an x-extended grid (the y-pass output must cover
-    # the x-pass taps' columns).
-    xs_ext = jnp.arange(-halo, w + halo, dtype=f32)      # (w + 2*halo,)
-    ys = jnp.arange(h, dtype=f32)
-    wy_ext = b * xs_ext[None, :] + (1.0 + a) * ys[:, None] + ty
-    ry_ext = jnp.clip(wy_ext - ys[:, None] - k0y.astype(f32), -m, m)
+    # Residual positions; the y-pass output must cover the x-pass taps'
+    # columns, so wy is edge-extended by halo columns (exact for
+    # x-independent wy; O(d wy/dx * halo) at the borders otherwise).
+    ys = jnp.arange(h, dtype=f32)[:, None]
+    xs = jnp.arange(w, dtype=f32)[None, :]
+    wy_ext = jnp.pad(wy.astype(f32), ((0, 0), (halo, halo)), mode="edge")
+    ry_ext = jnp.clip(wy_ext - ys - k0y.astype(f32), -m, m)
 
     weight = _hat if interp == "bilinear" else lanczos2
     lo = -m - (0 if interp == "bilinear" else 2)
@@ -107,9 +110,7 @@ def warp_image_fast(img, t_sample_ul, interp: str = "bilinear",
     tmp = tmp.astype(jnp.bfloat16)
 
     # X pass: out[y, x] = sum_e weight(rx[y,x] - e) * tmp[y, x + e].
-    xs = jnp.arange(w, dtype=f32)
-    wx = (1.0 + a) * xs[None, :] - b * ys[:, None] + tx
-    rx = jnp.clip(wx - xs[None, :] - k0x.astype(f32), -m, m)
+    rx = jnp.clip(wx.astype(f32) - xs - k0x.astype(f32), -m, m)
     out = jnp.zeros((h, w, c), f32)
     den_x = jnp.zeros((h, w), f32)
     for e in range(lo, hi):
@@ -127,3 +128,40 @@ def warp_image_fast(img, t_sample_ul, interp: str = "bilinear",
         out = jnp.clip(jnp.round(out), info.min, info.max)
     out = out.astype(out_dtype)
     return out[..., 0] if squeeze else out
+
+
+def warp_image_fast(img, t_sample_ul, interp: str = "bilinear",
+                    residual_bound: int = 8, max_shift: int = 192,
+                    out_dtype=jnp.uint8):
+    """Similarity-transform wrapper: dst(p) = interp(img, W(p)) with the
+    origin-based *sampling* transform ``t_sample_ul`` (4,)."""
+    h = img.shape[0]
+    w = img.shape[1]
+    f32 = jnp.float32
+    a, b, tx, ty = (t_sample_ul[i].astype(f32) for i in range(4))
+    ys = jnp.arange(h, dtype=f32)[:, None]
+    xs = jnp.arange(w, dtype=f32)[None, :]
+    wx = (1.0 + a) * xs - b * ys + tx
+    wy = b * xs + (1.0 + a) * ys + ty
+    return warp_field_fast(img, wx, wy, interp=interp,
+                           residual_bound=residual_bound,
+                           max_shift=max_shift, out_dtype=out_dtype)
+
+
+def warp_homography_fast(img, p, interp: str = "bilinear",
+                         residual_bound: int = 8, max_shift: int = 192,
+                         out_dtype=jnp.uint8):
+    """Homography wrapper: ``p`` is the (8,) normalized-parameterization
+    sampling homography (see homography.py)."""
+    from video_stabilizer_tpu import homography as Hm
+
+    h = img.shape[0]
+    w = img.shape[1]
+    f32 = jnp.float32
+    ys = jnp.arange(h, dtype=f32)
+    xs = jnp.arange(w, dtype=f32)
+    grid = jnp.stack(jnp.meshgrid(xs, ys, indexing="xy"), axis=-1)  # (H, W, 2)
+    warped = Hm.warp_points(p, grid, w, h)
+    return warp_field_fast(img, warped[..., 0], warped[..., 1], interp=interp,
+                           residual_bound=residual_bound,
+                           max_shift=max_shift, out_dtype=out_dtype)

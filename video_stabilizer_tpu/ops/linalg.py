@@ -15,27 +15,27 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-_PAIRS = ((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))
-
-
-def eigh_sym4(A, sweeps: int = 6):
-    """Eigendecomposition of a symmetric 4x4 via cyclic Jacobi rotations.
+def eigh_sym(A, sweeps: int = 6):
+    """Eigendecomposition of a small static-size symmetric matrix via
+    cyclic Jacobi rotations.
 
     Args:
-      A: (4, 4) symmetric (float32/float64).
-      sweeps: fixed sweep count (6 sweeps x 6 rotations reaches f32 machine
-        precision for any 4x4; convergence is quadratic).
+      A: (n, n) symmetric (float32/float64), n static and small (4, 8, ...).
+      sweeps: fixed sweep count (6 sweeps reaches f32 machine precision for
+        tiny matrices; convergence is quadratic).
 
     Returns:
-      (w, V): eigenvalues (4,) (unsorted) and eigenvectors (4, 4) with
+      (w, V): eigenvalues (n,) (unsorted) and eigenvectors (n, n) with
       A ≈ V @ diag(w) @ V.T.
     """
+    n = A.shape[-1]
+    pairs = [(p, q) for p in range(n) for q in range(p + 1, n)]
     dtype = A.dtype
-    V = jnp.eye(4, dtype=dtype)
+    V = jnp.eye(n, dtype=dtype)
     eps = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
 
     for _ in range(sweeps):
-        for (p, q) in _PAIRS:
+        for (p, q) in pairs:
             apq = A[p, q]
             app = A[p, p]
             aqq = A[q, q]
@@ -64,15 +64,22 @@ def eigh_sym4(A, sweeps: int = 6):
     return jnp.diagonal(A), V
 
 
+def eigh_sym4(A, sweeps: int = 6):
+    """4x4 specialization of eigh_sym (the GN Hessian case)."""
+    return eigh_sym(A, sweeps=sweeps)
+
+
 def regularized_pinv_sym4(H, cond_threshold: float = 1e6,
                           tikhonov_scale: float = 1e-6):
-    """Condition-checked, Tikhonov-regularized pseudo-inverse of a symmetric
-    PSD 4x4 (alignment.cpp:553-583 semantics):
+    """Condition-checked, Tikhonov-regularized pseudo-inverse of a small
+    symmetric PSD matrix (alignment.cpp:553-583 semantics):
 
       cond = w_max / (w_min + 1e-10); if cond > 1e6, add 1e-6 * w_max to the
       diagonal; invert with near-null eigenvalues zeroed (DECOMP_SVD).
+
+    Works for any small static size (4x4 similarity, 8x8 homography).
     """
-    w, V = eigh_sym4(H)
+    w, V = eigh_sym(H)
     w_max = jnp.max(w)
     w_min = jnp.min(w)
     cond = w_max / (w_min + 1e-10)
