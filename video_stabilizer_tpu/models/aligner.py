@@ -264,15 +264,12 @@ def _align_level(spec: LevelSpec, key: LevelKeyData, template_img, keyframe_img,
         _selection_mask(wd[1], params, dyn)]).astype(dtype)  # (2, N)
 
     # Gauss-Newton Hessian over both selected sets (alignment.cpp:278-332,
-    # 548-551) and its regularized inverse — both on device. Explicit
-    # mul-reduce per (symmetric) entry — a 4x4-output dot_general lowers
-    # with degenerate layouts on TPU.
+    # 548-551) and its regularized inverse — both on device. All 16 entries
+    # in ONE broadcast-multiply-reduce: separate to-scalar reductions cost
+    # ~35us fixed latency each on TPU (measured: 0.58ms per Hessian), and a
+    # 4x4-output dot_general lowers with degenerate layouts.
     jm = jac * mask                                    # (4, 2, N)
-    rows = []
-    for i in range(4):
-        rows.append(jnp.stack(
-            [jnp.sum(jm[i] * jac[j]) for j in range(4)]))
-    H = jnp.stack(rows)
+    H = jnp.sum(jm[:, None] * jac[None, :], axis=(2, 3))
     Hinv = regularized_pinv_sym4(H)
 
     # ICA's X/Y-set average (generators.cpp:595) folded into the mask.
@@ -287,8 +284,7 @@ def _align_level(spec: LevelSpec, key: LevelKeyData, template_img, keyframe_img,
         rel_x, rel_y = warp_rel_positions_flat(fx, fy, t_ul, ox, oy, p)
         warped = sample_windows_flat(key.windows, rel_x, rel_y)
         residual = tmpl - warped
-        return jnp.stack([jnp.sum(jac_masked[i] * residual)
-                          for i in range(4)])
+        return jnp.sum(jac_masked * residual[None], axis=(1, 2))
 
     def gn_cond(carry):
         _, _, it, converged = carry

@@ -127,8 +127,9 @@ def _align_level_h(spec: LevelSpec, key: LevelKeyDataH, template_img,
         _selection_mask(wd[1], params, dyn)]).astype(dtype)
 
     jm = jac * mask
-    H = jnp.stack([jnp.stack([jnp.sum(jm[i] * jac[j]) for j in range(8)])
-                   for i in range(8)])
+    # All 64 Hessian entries in one fused broadcast-multiply-reduce (see
+    # the similarity aligner's note on to-scalar reduction latency).
+    H = jnp.sum(jm[:, None] * jac[None, :], axis=(2, 3))
     Hinv = regularized_pinv_sym4(H)
     jac_masked = jac * mask
 
@@ -141,8 +142,7 @@ def _align_level_h(spec: LevelSpec, key: LevelKeyDataH, template_img,
         rel_x, rel_y = _warp_rel_h(p, fx, fy, spec, ox, oy, psize)
         warped = sample_windows_flat(key.windows, rel_x, rel_y)
         residual = tmpl - warped
-        return jnp.stack([jnp.sum(jac_masked[i] * residual)
-                          for i in range(8)])
+        return jnp.sum(jac_masked * residual[None], axis=(1, 2))
 
     def gn_cond(carry):
         _, _, it, conv = carry

@@ -42,17 +42,16 @@ def histogram_mask(wd, fraction, bins: int = DEFAULT_BINS):
     v = jnp.clip(jnp.floor(wd), 0, bins - 1).astype(jnp.float32)
     k = jnp.floor(jnp.asarray(n * fraction, jnp.float32))
 
-    steps = max(1, (bins - 1).bit_length())
-    lo = jnp.zeros((), jnp.float32)            # exclusive lower bound - 1
-    hi = jnp.asarray(float(bins - 1), jnp.float32)
-    # Invariant: count(v <= hi) >= k always; shrink [lo, hi] by bisection.
-    for _ in range(steps):
-        mid = jnp.floor((lo + hi) * 0.5)
-        cnt = jnp.sum(v <= mid)
-        ok = cnt >= k
-        hi = jnp.where(ok, mid, hi)
-        lo = jnp.where(ok, lo, mid + 1.0)
-    return (v <= hi).astype(wd.dtype)
+    # Cumulative counts for ALL thresholds in one fused compare-reduce with
+    # the data on the lane axis: counts[b] = #(v <= b) is monotone, so the
+    # threshold is the min level whose count reaches k. (Sequential
+    # bisection costs ~35us of to-scalar reduction latency per step on TPU.)
+    flat = v.reshape(-1)
+    levels = jnp.arange(bins, dtype=jnp.float32)
+    counts = jnp.sum(flat[None, :] <= levels[:, None], axis=1,
+                     dtype=jnp.float32)                       # (bins,)
+    thresh = jnp.min(jnp.where(counts >= k, levels, float(bins)))
+    return (v <= thresh).astype(wd.dtype)
 
 
 def topk_mask(wd, fraction):
