@@ -3,18 +3,30 @@ batched multi-stream variants."""
 
 from video_stabilizer_tpu.models.aligner import (
     AlignerState,
+    DynAlignParams,
     LevelSpec,
     VideoAligner,
     align_next_frame,
     init_state,
     level_specs,
 )
+from video_stabilizer_tpu.models.batch import (
+    align_clip,
+    stabilize_clip,
+    stabilize_streams,
+)
+from video_stabilizer_tpu.models.homography_aligner import (
+    align_clip_homography,
+    stabilize_clip_homography,
+)
 from video_stabilizer_tpu.models.smoother import L1SmootherCenter, tvl1_smooth
 from video_stabilizer_tpu.models.stabilizer import VideoStabilizer
 
 __all__ = [
-    "AlignerState", "LevelSpec", "VideoAligner", "align_next_frame",
-    "init_state", "level_specs",
+    "AlignerState", "DynAlignParams", "LevelSpec", "VideoAligner",
+    "align_next_frame", "init_state", "level_specs",
+    "align_clip", "stabilize_clip", "stabilize_streams",
+    "align_clip_homography", "stabilize_clip_homography",
     "L1SmootherCenter", "tvl1_smooth",
     "VideoStabilizer",
 ]

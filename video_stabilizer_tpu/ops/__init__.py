@@ -23,6 +23,14 @@ from video_stabilizer_tpu.ops.sparse import (
     sparse_warpdiff,
     sparse_ica,
 )
+from video_stabilizer_tpu.ops.fast_warp import (
+    warp_field_fast,
+    warp_homography_fast,
+    warp_image_fast,
+)
+from video_stabilizer_tpu.ops.phase_corr import phase_correlate
+from video_stabilizer_tpu.ops.select import histogram_mask, topk_mask
+from video_stabilizer_tpu.ops.linalg import eigh_sym, regularized_pinv_sym4
 
 __all__ = [
     "lanczos2", "lanczos2_exact",
@@ -31,4 +39,7 @@ __all__ = [
     "grad_argmax", "tile_view", "take_at_tile_argmax",
     "image_warp", "image_warp_ul", "warp_image_bgr", "warp_by_similarity_transform",
     "sparse_jacobian", "sparse_warp_sample", "sparse_warpdiff", "sparse_ica",
+    "warp_field_fast", "warp_homography_fast", "warp_image_fast",
+    "phase_correlate", "histogram_mask", "topk_mask",
+    "eigh_sym", "regularized_pinv_sym4",
 ]

@@ -34,16 +34,60 @@ def tile_view(img, tile_size):
     return x.reshape(x.shape[:-2] + (t * t,))
 
 
-def _argmax_coords(tiles_abs, tile_size, ht, wt):
-    """Flat within-tile argmax -> absolute (x, y) coords. Returns (idx, coords)."""
-    idx = jnp.argmax(tiles_abs, axis=-1)  # (..., Ht, Wt) int
-    dy = idx // tile_size
-    dx = idx % tile_size
-    ty = jnp.arange(ht, dtype=jnp.int32)[:, None]
-    tx = jnp.arange(wt, dtype=jnp.int32)[None, :]
-    coord_x = (tx * tile_size + dx).astype(jnp.int32)
-    coord_y = (ty * tile_size + dy).astype(jnp.int32)
-    return idx, jnp.stack([coord_x, coord_y], axis=-1)  # (..., Ht, Wt, 2)
+def _mask_reduce(values, idx, axis):
+    """values summed where a broadcast iota along ``axis`` equals ``idx``
+    (idx broadcast with a singleton at ``axis``). Branchless select-reduce —
+    the TPU-fast replacement for take_along_axis, which XLA lowers as a
+    gather (~0.5 ms per call at 1080p, measured)."""
+    n = values.shape[axis]
+    shape = [1] * values.ndim
+    shape[axis] = n
+    iota = jnp.arange(n, dtype=jnp.int32).reshape(shape)
+    sel = (iota == jnp.expand_dims(idx, axis)).astype(values.dtype)
+    return jnp.sum(values * sel, axis=axis)
+
+
+def _tile_argmax_2stage(a, tile_size):
+    """Per-tile argmax via two axis-aligned reductions. Every reshape is a
+    free split of a contiguous dimension — no transposes — and all index
+    plumbing is mask-reduce, so nothing lowers as a gather.
+
+    Tie-breaking matches the reference's RDom scan order (r.y outer, r.x
+    inner, first max wins): stage 1 takes the first max along x within each
+    row segment, stage 2 the first maximal row.
+
+    Args:
+      a: (H', W') values (already cropped to tile multiples).
+    Returns:
+      (dy, dx): (Ht, Wt) int32 within-tile offsets of the per-tile
+      argmax of ``a``.
+    """
+    t = tile_size
+    hc, wc = a.shape
+    ht, wt = hc // t, wc // t
+    # Stage 1 (x within tile): (H', Wt, t) — minor split, free.
+    a1 = a.reshape(hc, wt, t)
+    dx1 = jnp.argmax(a1, axis=-1).astype(jnp.int32)            # (H', Wt)
+    v1 = _mask_reduce(a1, dx1, axis=-1)                        # (H', Wt)
+    # Stage 2 (y within tile): (Ht, t, Wt) — major split, free.
+    dy = jnp.argmax(v1.reshape(ht, t, wt), axis=1).astype(jnp.int32)
+    dx = _mask_reduce(dx1.reshape(ht, t, wt).astype(jnp.float32), dy,
+                      axis=1).astype(jnp.int32)                # (Ht, Wt)
+    return dy, dx
+
+
+def _value_at(img, dy, dx, tile_size):
+    """img value at per-tile offsets (dy, dx) — two mask-reduces on free
+    reshapes."""
+    t = tile_size
+    h, w = img.shape[-2], img.shape[-1]
+    ht, wt = h // t, w // t
+    x = img[: ht * t, : wt * t].astype(jnp.float32)
+    # Row select: (Ht, t, W') with dy broadcast over each tile's columns.
+    rows = _mask_reduce(x.reshape(ht, t, wt * t),
+                        jnp.repeat(dy, t, axis=1), axis=1)     # (Ht, W')
+    # Column select: (Ht, Wt, t) minor split.
+    return _mask_reduce(rows.reshape(ht, wt, t), dx, axis=-1)  # (Ht, Wt)
 
 
 def grad_argmax(grad_x, grad_y, tile_size):
@@ -52,38 +96,44 @@ def grad_argmax(grad_x, grad_y, tile_size):
     Reference: generators.cpp:273-293 — emits absolute pixel coords per tile.
 
     Args:
-      grad_x, grad_y: (..., H, W) float gradient images.
+      grad_x, grad_y: (H, W) float gradient images.
       tile_size: static int (see config.tile_size_for for the adaptive rule).
 
     Returns:
       (idx_x, coords_x, idx_y, coords_y) where idx_* is the flat within-tile
-      argmax (..., Ht, Wt) — reusable with ``take_at_tile_argmax`` to read any
+      argmax (Ht, Wt) — reusable with ``take_at_tile_argmax`` to read any
       image at the argmax locations without a gather — and coords_* is
-      (..., Ht, Wt, 2) absolute (x, y) int32.
+      (Ht, Wt, 2) absolute (x, y) int32.
     """
+    t = tile_size
     h, w = grad_x.shape[-2], grad_x.shape[-1]
-    ht, wt = h // tile_size, w // tile_size
-    tiles_x = jnp.abs(tile_view(grad_x, tile_size))
-    tiles_y = jnp.abs(tile_view(grad_y, tile_size))
-    idx_x, coords_x = _argmax_coords(tiles_x, tile_size, ht, wt)
-    idx_y, coords_y = _argmax_coords(tiles_y, tile_size, ht, wt)
-    return idx_x, coords_x, idx_y, coords_y
+    ht, wt = h // t, w // t
+    ty = jnp.arange(ht, dtype=jnp.int32)[:, None]
+    tx = jnp.arange(wt, dtype=jnp.int32)[None, :]
+
+    out = []
+    for g in (grad_x, grad_y):
+        dy, dx = _tile_argmax_2stage(jnp.abs(g[: ht * t, : wt * t]), t)
+        idx = dy * t + dx
+        coords = jnp.stack([tx * t + dx, ty * t + dy], axis=-1)
+        out.extend([idx, coords])
+    return tuple(out)
 
 
 def take_at_tile_argmax(img, idx, tile_size):
     """Read ``img`` at each tile's argmax location using the within-tile index.
 
-    Because the argmax coordinate is inside its own tile by construction, the
-    read is a ``take_along_axis`` on the tile view — a regular, dense op with
-    no image-level gather. This replaces the reference's random-access reads
-    of the gradient images (generators.cpp:346-385) and of the template image
+    Because the argmax coordinate is inside its own tile by construction,
+    the read is two mask-reduces on free reshapes — dense, transpose-free,
+    gather-free. This replaces the reference's random-access reads of the
+    gradient images (generators.cpp:346-385) and of the template image
     (generators.cpp:554-556, 666-668).
 
     Args:
-      img: (..., H, W) array.
-      idx: (..., Ht, Wt) flat within-tile argmax from ``grad_argmax``.
+      img: (H, W) array.
+      idx: (Ht, Wt) flat within-tile argmax from ``grad_argmax``.
     Returns:
-      (..., Ht, Wt) values of ``img`` at the argmax pixels.
+      (Ht, Wt) float32 values of ``img`` at the argmax pixels.
     """
-    tiles = tile_view(img, tile_size)
-    return jnp.take_along_axis(tiles, idx[..., None], axis=-1)[..., 0]
+    t = tile_size
+    return _value_at(img, idx // t, idx % t, t)
