@@ -106,9 +106,11 @@ class StabilizerParams:
 
     # Static per-pixel residual bound of the gather-free output warp
     # (ops/fast_warp.py): covers |A,B| * image_radius + 1 px of
-    # rotation/zoom fringe after bulk-translation removal. 6 px spans
-    # |B| <= ~0.005 at 1080p; raise for extreme rotational corrections.
-    output_residual_bound: int = 6
+    # rotation/zoom fringe after bulk-translation removal. 4 px spans
+    # |B| <= ~0.003 at 1080p (typical stabilization corrections are well
+    # under 0.002); positions beyond it clamp gracefully. Raise for extreme
+    # rotational corrections; each +1 adds two taps per axis (~7% warp cost).
+    output_residual_bound: int = 4
 
 
 def pyramid_shapes(width: int, height: int, params: AlignerParams) -> Tuple[Tuple[int, int], ...]:

@@ -219,11 +219,12 @@ def _gn_corners(spec, dtype):
 
 
 # GN iterations unrolled per while_loop step: cuts the sequential loop
-# depth 4x (convergence is still checked after every iteration — updates
+# depth 6x (convergence is still checked after every iteration — updates
 # past convergence are masked out, so semantics match the reference's
 # per-iteration break exactly; at most CHUNK-1 masked iterations of extra
-# flops, which are nearly free on the VPU).
-GN_CHUNK = 4
+# flops, which are nearly free on the VPU — the loop cost is dominated by
+# per-op dispatch latency at the coarse levels).
+GN_CHUNK = 6
 
 
 def _align_level(spec: LevelSpec, key: LevelKeyData, template_img, keyframe_img,

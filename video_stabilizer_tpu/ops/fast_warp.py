@@ -97,13 +97,19 @@ def warp_field_fast(img, wx, wy, interp: str = "bilinear",
     lo = -m - (0 if interp == "bilinear" else 2)
     hi = m + (2 if interp == "bilinear" else 3)
 
+    # Bilinear hat weights sum to exactly 1 within the clamped tap range —
+    # skip the normalization accumulators entirely (they cost a full-frame
+    # f32 accumulation chain per pass).
+    need_den = interp != "bilinear"
+
     # Y pass: tmp[y, x'] = sum_d weight(ry[y,x'] - d) * base[y + d, x'].
     tmp = jnp.zeros((h, w + 2 * halo, c), f32)
-    den_y = jnp.zeros((h, w + 2 * halo), f32)
+    den_y = jnp.zeros((h, w + 2 * halo), f32) if need_den else None
     for d in range(lo, hi):
         wgt = weight(ry_ext - d)
         tmp = tmp + wgt[..., None] * base[halo + d : halo + d + h, :, :].astype(f32)
-        den_y = den_y + wgt
+        if need_den:
+            den_y = den_y + wgt
     # bf16 intermediate halves the x-pass traffic; u8 integers are exact in
     # bf16, so integer translations stay bit-exact and subpixel paths lose
     # <0.5 intensity.
@@ -112,16 +118,17 @@ def warp_field_fast(img, wx, wy, interp: str = "bilinear",
     # X pass: out[y, x] = sum_e weight(rx[y,x] - e) * tmp[y, x + e].
     rx = jnp.clip(wx.astype(f32) - xs - k0x.astype(f32), -m, m)
     out = jnp.zeros((h, w, c), f32)
-    den_x = jnp.zeros((h, w), f32)
+    den_x = jnp.zeros((h, w), f32) if need_den else None
     for e in range(lo, hi):
         wgt = weight(rx - e)
         out = out + wgt[..., None] * tmp[:, halo + e : halo + e + w, :].astype(f32)
-        den_x = den_x + wgt * den_y[:, halo + e : halo + e + w]
+        if need_den:
+            den_x = den_x + wgt * den_y[:, halo + e : halo + e + w]
 
-    if interp != "bilinear":
+    if need_den:
+        # lanczos needs the weight-sum normalization like the reference's
+        # sum_den (generators.cpp:494-497).
         out = out / jnp.maximum(den_x[..., None] * 1.0, 1e-6)
-    # (bilinear hat weights sum to 1 exactly; lanczos needs normalization
-    # like the reference's sum_den — generators.cpp:494-497.)
 
     if jnp.issubdtype(jnp.dtype(out_dtype), jnp.integer):
         info = jnp.iinfo(out_dtype)

@@ -48,30 +48,27 @@ def extract_tile_windows(img, tile: int, margin: int, out_dtype=jnp.bfloat16):
     u8 values are exact in bfloat16 (integers <= 256), halving the HBM
     traffic of the GN inner loop.
     """
+    wins = _window_stack(img, tile, margin, out_dtype)
+    return wins.transpose(0, 2, 1, 3)              # (ht, wt, P, P)
+
+
+def _window_stack(img, tile: int, margin: int, out_dtype):
+    """Shared tile-aligned slicing: (Ht, P_y, Wt, P_x) without transposes."""
     h, w = img.shape[-2], img.shape[-1]
     t = tile
     ht, wt = h // t, w // t
     p = window_size(t, margin)
-    k = -(-p // t)  # ceil(P / tile) blocks per axis
-
-    # Pad so every tile-aligned block below stays in range: top/left by
-    # margin, bottom/right by margin + tile (covers H not divisible by t).
+    k = -(-p // t)
     padded = jnp.pad(img, ((margin, margin + t), (margin, margin + t)),
                      mode="edge").astype(out_dtype)
-
-    # Rows: block kk holds padded[kk*t + i*t + j] = window row r = kk*t + j.
     rows = jnp.stack(
         [padded[kk * t : kk * t + ht * t, :].reshape(ht, t, -1)
          for kk in range(k)], axis=1)              # (ht, K, t, W')
     rows = rows.reshape(ht, k * t, -1)[:, :p, :]   # (ht, P, W')
-
-    # Cols: same trick on the last axis.
     cols = jnp.stack(
         [rows[:, :, kk * t : kk * t + wt * t].reshape(ht, p, wt, t)
          for kk in range(k)], axis=3)              # (ht, P, wt, K, t)
-    wins = cols.reshape(ht, p, wt, k * t)[:, :, :, :p]
-
-    return wins.transpose(0, 2, 1, 3)              # (ht, wt, P, P)
+    return cols.reshape(ht, p, wt, k * t)[:, :, :, :p]  # (ht, P, wt, P)
 
 
 def extract_tile_windows_flat(img, tile: int, margin: int,
@@ -80,10 +77,10 @@ def extract_tile_windows_flat(img, tile: int, margin: int,
     grid lives on the minor (lane) axis, so the GN inner loop's weight
     arrays and reductions tile the VPU's (8, 128) registers densely instead
     of wasting ~16x on a (sets, taps) minor layout (measured via the op
-    profile — this is the hot loop's data layout)."""
-    wins = extract_tile_windows(img, tile, margin, out_dtype=out_dtype)
-    ht, wt, p, _ = wins.shape
-    return wins.transpose(2, 3, 0, 1).reshape(p, p, ht * wt)
+    profile — this is the hot loop's data layout). One transpose total."""
+    wins = _window_stack(img, tile, margin, out_dtype)
+    ht, p, wt, _ = wins.shape
+    return wins.transpose(1, 3, 0, 2).reshape(p, p, ht * wt)
 
 
 def window_origins_flat(ht: int, wt: int, tile: int, margin: int):
