@@ -203,6 +203,10 @@ FP_API int64_t fp_queue_submit(fp_queue* q, const uint8_t* src,
   if (q->fill_count == q->batch_frames) {
     q->ready.push_back(q->filling);
     q->filling = nullptr;
+    // fill_count tracks jobs of the CURRENT partial batch; reset now, or
+    // the pop-side completion wait (submitted - fill_count) under-counts
+    // by a whole batch and can release a slab whose copies are in flight.
+    q->fill_count = 0;
     q->cv_ready.notify_all();
   }
   q->cv_jobs.notify_one();
