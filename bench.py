@@ -87,7 +87,7 @@ def main():
           file=sys.stderr)
 
     print(json.dumps({
-        "metric": f"stabilized_1080p_bgr_fps_{streams}streams",
+        "metric": f"stabilized_{height}p_bgr_fps_{streams}streams",
         "value": round(fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(fps / 500.0, 4),
