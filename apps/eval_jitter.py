@@ -20,7 +20,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("videos", nargs="*")
-    ap.add_argument("--dir", help="evaluate every *.mp4 in a directory")
+    ap.add_argument("--dir",
+                    help="evaluate every *.mp4 / *.y4m in a directory")
     ap.add_argument("--max-frames", type=int, default=None)
     args = ap.parse_args()
 
@@ -29,7 +30,8 @@ def main():
 
     videos = list(args.videos)
     if args.dir:
-        videos += sorted(glob.glob(os.path.join(args.dir, "*.mp4")))
+        for pat in ("*.mp4", "*.y4m"):
+            videos += sorted(glob.glob(os.path.join(args.dir, pat)))
     if not videos:
         ap.error("no videos given")
 

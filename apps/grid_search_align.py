@@ -16,6 +16,7 @@ Usage:
 """
 
 import argparse
+import dataclasses
 import itertools
 import os
 import sys
@@ -68,6 +69,18 @@ def main():
     max_disps = [5.0, 10.0, 20.0]
     phase_opts = [False, True] if args.with_phase else [False]
 
+    # The sampling windows support per-level displacements up to margin-2 px
+    # (ops/patches.py); sweeping max_displacement beyond that would score
+    # combos on silently clamped samples. Widen the coarse-level margin to
+    # cover the largest sweep value (fine levels only refine sub-pixel after
+    # the coarse init, so the fine margin stays at its default).
+    need_margin = int(np.ceil(max(max_disps))) + 2
+    base_aligner = AlignerParams()
+    if need_margin > base_aligner.window_margin:
+        print(f"widening window_margin {base_aligner.window_margin} -> "
+              f"{need_margin} to cover max_displacement={max(max_disps)}")
+        base_aligner = AlignerParams(window_margin=need_margin)
+
     combos = list(itertools.product(thresholds, fractions, max_disps))
     dyn_batch = DynAlignParams(
         threshold=jnp.asarray([c[0] for c in combos], jnp.float32),
@@ -77,7 +90,8 @@ def main():
 
     # Stabilizer with smoother disabled: jitter == raw measurement
     # (stabilizer.cpp:59-64 branch B), crop like the reference's eval.
-    stab_params = StabilizerParams(enable_smoother=False, crop_pixels=16)
+    stab_params = StabilizerParams(aligner=base_aligner,
+                                   enable_smoother=False, crop_pixels=16)
 
     @functools.partial(jax.jit, static_argnames=("params",))
     def run_combos(gray_clip, bgr_clip, dyn, params):
@@ -102,7 +116,7 @@ def main():
     results = {}
     for phase in phase_opts:
         params = stab_params if not phase else StabilizerParams(
-            aligner=AlignerParams(phase_correlate=True),
+            aligner=dataclasses.replace(base_aligner, phase_correlate=True),
             enable_smoother=False, crop_pixels=16)
         t0 = time.time()
         outs, meas, ok = run_combos(jnp.asarray(gray), jnp.asarray(frames),

@@ -1,10 +1,14 @@
 """Headline benchmark: stabilized 1080p BGR frames/sec on one TPU chip.
 
-Runs the full batched pipeline (align + TV-L1 smooth + accumulate + warp +
-crop, all on device) over synthetic shaky 1080p streams and reports
-steady-state throughput. The north-star target is >500 fps (BASELINE.md);
-``vs_baseline`` is value/500 — the reference publishes no numbers of its
-own, so the target is the baseline.
+HONEST ACCOUNTING (round-2 rework, VERDICT item 2): uses the chunked
+streaming-batch mode (models/chunked.py) with carried state, so every input
+frame produces exactly one warped+cropped output frame in steady state —
+no lag-window frames that skip the expensive output warp. Throughput =
+(streams x chunk_frames) / chunk_time once the pipeline is past warm-up.
+
+The north-star target is >500 fps (BASELINE.md); ``vs_baseline`` is
+value/500 — the reference publishes no numbers of its own, so the target is
+the baseline.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -28,66 +32,80 @@ def main():
 
     import jax.numpy as jnp
 
-    from video_stabilizer_tpu.config import AlignerParams, StabilizerParams
-    from video_stabilizer_tpu.models.batch import _stabilize_streams_jit
+    from video_stabilizer_tpu.config import StabilizerParams
+    from video_stabilizer_tpu.models.chunked import (
+        _stabilize_chunk_streams_jit,
+        init_stream_state,
+    )
     from video_stabilizer_tpu.utils.io import synth_shaky_clip
 
     height = int(os.environ.get("BENCH_HEIGHT", "1080"))
     width = int(os.environ.get("BENCH_WIDTH", "1920"))
     streams = int(os.environ.get("BENCH_STREAMS", "8"))
-    frames = int(os.environ.get("BENCH_FRAMES", "16"))
-    reps = int(os.environ.get("BENCH_REPS", "3"))
+    frames = int(os.environ.get("BENCH_FRAMES", "16"))   # per chunk
+    reps = int(os.environ.get("BENCH_REPS", "4"))
 
     params = StabilizerParams(crop_pixels=32)
 
-    print(f"bench: {streams}x{frames}x{height}x{width} BGR on "
+    print(f"bench: {streams} streams x {frames}-frame chunks @ "
+          f"{width}x{height} BGR on "
           f"{jax.devices()[0].platform}:{jax.devices()[0]}", file=sys.stderr)
 
-    rng = np.random.default_rng(0)
     # One real synthetic stream (cheap to generate at reduced complexity),
     # tiled to S streams — content doesn't affect timing.
     clip = synth_shaky_clip(frames, height, width, seed=5, jitter_px=1.0,
                             pan_px_per_frame=0.3)
     clips = jnp.asarray(np.broadcast_to(clip, (streams,) + clip.shape).copy())
 
+    states = jax.vmap(lambda _: init_stream_state(width, height, params))(
+        jnp.arange(streams))
+
     # NOTE: on tunneled platforms block_until_ready() can be a no-op; only a
     # data fetch truly synchronizes. All timing boundaries below fetch a
     # scalar derived from the outputs.
     ok_rate = [0.0]
 
-    def run_and_sync(x):
-        out, meas, ok = _stabilize_streams_jit(x, params, width, height)
+    def run_chunk(states, x):
+        states, out, meas, ok, valid = _stabilize_chunk_streams_jit(
+            states, x, params, width, height)
+        return states, out, ok
+
+    def sync(out, ok):
         ok_rate[0] = float(jnp.mean(ok))
-        return out, float(jnp.sum(out[:, -1, ::64, ::64]))
+        return float(jnp.sum(out[:, -1, ::64, ::64]))
 
     t0 = time.time()
-    out, _ = run_and_sync(clips)
-    compile_and_first = time.time() - t0
-    print(f"bench: first call (incl. compile) {compile_and_first:.1f}s",
+    states, out, ok = run_chunk(states, clips)
+    _ = sync(out, ok)
+    print(f"bench: first call (incl. compile) {time.time() - t0:.1f}s",
           file=sys.stderr)
 
-    # Distinct input per call (defeats any caching); several calls per timed
-    # rep to amortize the tunnel round-trip.
+    # Distinct input per call (defeats any caching); several chunks per
+    # timed rep to amortize the tunnel round-trip. State carries across all
+    # calls — this IS the unbounded-stream serving loop.
     inner = int(os.environ.get("BENCH_INNER", "4"))
-    variants = [jnp.asarray(clips + np.uint8(k)) for k in range(inner)]
-    _ = run_and_sync(variants[-1])  # materialize variants on device
+    variants = [jnp.asarray(clips + np.uint8(k + 1)) for k in range(inner)]
+    # Warm-up past the lag window so every timed output is a real warp.
+    states, out, ok = run_chunk(states, variants[0])
+    _ = sync(out, ok)
     times = []
     for _rep in range(reps):
         t0 = time.time()
         sink = 0.0
         for v in variants:
-            out, s = run_and_sync(v)
-            sink += s
+            states, out, ok = run_chunk(states, v)
+            sink += sync(out, ok)
         times.append((time.time() - t0) / inner)
     best = min(times)
     fps = streams * frames / best
-    print(f"bench: steady-state {best:.3f}s for {streams * frames} frames; "
+    print(f"bench: steady-state {best:.3f}s per {streams * frames}-frame "
+          f"chunk (1 warped output per input frame); "
           f"times={['%.3f' % t for t in times]}; "
           f"align success rate={ok_rate[0]:.3f}",
           file=sys.stderr)
 
     print(json.dumps({
-        "metric": f"stabilized_{height}p_bgr_fps_{streams}streams",
+        "metric": f"stabilized_{height}p_bgr_fps_{streams}streams_chunked",
         "value": round(fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(fps / 500.0, 4),

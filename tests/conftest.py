@@ -19,6 +19,11 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: the pipeline programs take ~30-90s each to
+# build on this box; cache them across pytest runs.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache_tests"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import numpy as np
 import pytest

@@ -106,11 +106,36 @@ class StabilizerParams:
 
     # Static per-pixel residual bound of the gather-free output warp
     # (ops/fast_warp.py): covers |A,B| * image_radius + 1 px of
-    # rotation/zoom fringe after bulk-translation removal. 4 px spans
-    # |B| <= ~0.003 at 1080p (typical stabilization corrections are well
-    # under 0.002); positions beyond it clamp gracefully. Raise for extreme
-    # rotational corrections; each +1 adds two taps per axis (~7% warp cost).
-    output_residual_bound: int = 4
+    # rotation/zoom fringe after bulk-translation removal. None (default)
+    # resolves per resolution via ``default_residual_bound`` — the same
+    # angular envelope (|A,B| <= ~0.0027) needs more pixels at larger
+    # radii, so a fixed count would silently clamp 4K rotations that are
+    # fine at 1080p. Positions beyond the bound clamp gracefully (pinned
+    # by tests/test_fast_warp_oracle.py). Raise for extreme rotational
+    # corrections; each +1 adds two taps per axis (~7% warp cost).
+    output_residual_bound: int | None = None
+
+
+def default_residual_bound(width: int, height: int) -> int:
+    """Per-resolution residual bound for the gather-free output warp.
+
+    Sized so rotational/zoom corrections up to |A,B| ~= 0.0027 (measured
+    headroom above typical stabilization corrections of <= 0.002) stay
+    inside the exact-interpolation envelope at this resolution's image
+    radius: 4 px at <=1080p, 7 px at 4K.
+    """
+    import math
+
+    radius = math.hypot(width, height) * 0.5
+    return max(4, math.ceil(0.0027 * radius + 1.0))
+
+
+def resolve_residual_bound(params: StabilizerParams, width: int,
+                           height: int) -> int:
+    """The static residual bound to trace the output warp with."""
+    if params.output_residual_bound is not None:
+        return params.output_residual_bound
+    return default_residual_bound(width, height)
 
 
 def pyramid_shapes(width: int, height: int, params: AlignerParams) -> Tuple[Tuple[int, int], ...]:

@@ -227,9 +227,13 @@ def _gn_corners(spec, dtype):
 GN_CHUNK = 6
 
 
-def _align_level(spec: LevelSpec, key: LevelKeyData, template_img, keyframe_img,
+def _align_level(spec: LevelSpec, key: LevelKeyData, template_img,
                  transform, params: AlignerParams, dyn: DynAlignParams):
     """One pyramid level: warpdiff selection, Hessian, GN while_loop.
+
+    The keyframe image itself is not needed here: every keyframe read the
+    GN loop performs goes through the pre-extracted sampling windows in
+    ``key.windows`` (ops/patches.py).
 
     Returns (transform_out, level_failed). transform_out is pre-upscale on
     failure (matching the reference's early return) and TX/TY-doubled on
@@ -358,13 +362,16 @@ def _phase_init(state_pyramid, curr, specs, params, dtype):
                            curr == KEYFRAME_INDEX)
 
 
-def align_all_levels(template_pyr, keyframe_pyr, key, specs,
+def align_all_levels(template_pyr, key, specs,
                      params: AlignerParams, t_init, dyn: DynAlignParams = None):
     """The coarse-to-fine level loop (alignment.cpp:390-688), statically
     unrolled. Shared by the streaming and batched pipelines.
 
+    The keyframe enters only through ``key``: all keyframe pixel reads go
+    through the pre-extracted sampling windows (LevelKeyData.windows).
+
     Args:
-      template_pyr / keyframe_pyr: sequences of per-level (h, w) u8 images.
+      template_pyr: sequence of per-level (h, w) u8 images.
       key: per-level LevelKeyData for the keyframe.
       t_init: (4,) initial transform (identity or phase-correlation init).
 
@@ -378,8 +385,7 @@ def align_all_levels(template_pyr, keyframe_pyr, key, specs,
     failed = jnp.zeros((), bool)
     for lvl in range(len(specs) - 1, -1, -1):
         t_raw, t_up, level_failed, _ = _align_level(
-            specs[lvl], key[lvl], template_pyr[lvl], keyframe_pyr[lvl],
-            transform, params, dyn)
+            specs[lvl], key[lvl], template_pyr[lvl], transform, params, dyn)
         t_next = jnp.where(level_failed, t_raw, t_up) if lvl > 0 else t_raw
         transform = jnp.where(failed, transform, t_next)
         failed = jnp.logical_or(failed, level_failed)
@@ -422,7 +428,6 @@ def _align_next_frame_impl(state: AlignerState, gray, params: AlignerParams,
     # Coarse-to-fine level loop, statically unrolled (alignment.cpp:390-688).
     transform, failed = align_all_levels(
         tuple(p[NON_KEYFRAME_INDEX] for p in pyramid),
-        tuple(p[KEYFRAME_INDEX] for p in pyramid),
         key, specs, params, transform)
 
     # Non-keyframe frames report the inverse (alignment.cpp:690-693); the

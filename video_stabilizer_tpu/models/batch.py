@@ -27,7 +27,8 @@ import jax
 import jax.numpy as jnp
 
 from video_stabilizer_tpu import transforms as T
-from video_stabilizer_tpu.config import AlignerParams, StabilizerParams
+from video_stabilizer_tpu.config import (
+    AlignerParams, StabilizerParams, resolve_residual_bound)
 from video_stabilizer_tpu.models.aligner import (
     PHASE_LEVEL,
     align_all_levels,
@@ -69,7 +70,7 @@ def _align_pair_step(carry: _PairCarry, xs, specs, params: AlignerParams,
                                num_levels, params, dtype, False)
     else:
         t0_a = T.identity(dtype)
-    t_a, failed_a = align_all_levels(pyr_a, carry.key_pyr, carry.key, specs,
+    t_a, failed_a = align_all_levels(pyr_a, carry.key, specs,
                                      params, t0_a, dyn)
     t_a = jnp.where(failed_a, t_a, T.inverse(t_a))
     ok_a = jnp.logical_and(pair_idx > 0, jnp.logical_not(failed_a))
@@ -83,13 +84,41 @@ def _align_pair_step(carry: _PairCarry, xs, specs, params: AlignerParams,
                                num_levels, params, dtype, True)
     else:
         t0_b = T.identity(dtype)
-    t_b, failed_b = align_all_levels(pyr_a, pyr_b, key_b, specs, params,
+    t_b, failed_b = align_all_levels(pyr_a, key_b, specs, params,
                                      t0_b, dyn)
     ok_b = jnp.logical_not(failed_b)
 
     new_carry = _PairCarry(key_pyr=pyr_b, key=key_b)
     return new_carry, (jnp.stack([t_a, t_b]),
                        jnp.stack([ok_a, ok_b]))
+
+
+def init_pair_carry(specs, params: AlignerParams) -> _PairCarry:
+    """The zero pre-stream aligner carry (no keyframe seen yet)."""
+    zero_pyr = tuple(
+        jnp.zeros((s.height, s.width), jnp.uint8) for s in specs)
+    return _PairCarry(key_pyr=zero_pyr,
+                      key=_compute_keyframe(zero_pyr, specs, params))
+
+
+def _align_pairs_scan(frames, specs, params: AlignerParams, dyn,
+                      carry0: _PairCarry, pair_base):
+    """Scan ``_align_pair_step`` over an even-length frame sequence starting
+    from an arbitrary carried keyframe state. ``pair_base`` is the global
+    index of the first pair (0 only at true stream start — it gates the
+    first frame's warm-up masking).
+
+    Returns (final_carry, transforms (T, 4), success (T,))."""
+    t_pad = frames.shape[0]
+    assert t_pad % 2 == 0
+    pairs_a = frames[0::2]
+    pairs_b = frames[1::2]
+    idx = pair_base + jnp.arange(t_pad // 2, dtype=jnp.int32)
+    step = functools.partial(_align_pair_step, specs=specs, params=params,
+                             dyn=dyn)
+    carry, (t_pairs, ok_pairs) = jax.lax.scan(step, carry0,
+                                              (pairs_a, pairs_b, idx))
+    return carry, t_pairs.reshape(t_pad, 4), ok_pairs.reshape(t_pad)
 
 
 def align_clip_impl(frames, params: AlignerParams, width: int, height: int,
@@ -101,28 +130,13 @@ def align_clip_impl(frames, params: AlignerParams, width: int, height: int,
     streaming path. Odd-length clips are padded internally and trimmed.
     """
     specs = level_specs(width, height, params)
-    dtype = jnp.dtype(params.dtype)
     t_in = frames.shape[0]
     if t_in % 2:
         frames = jnp.concatenate([frames, frames[-1:]], axis=0)
-    t_pad = frames.shape[0]
-    pairs_a = frames[0::2]
-    pairs_b = frames[1::2]
-    idx = jnp.arange(t_pad // 2, dtype=jnp.int32)
-
-    carry0 = _PairCarry(
-        key_pyr=tuple(jnp.zeros((s.height, s.width), jnp.uint8) for s in specs),
-        key=_compute_keyframe(
-            tuple(jnp.zeros((s.height, s.width), jnp.uint8) for s in specs),
-            specs, params),
-    )
-    step = functools.partial(_align_pair_step, specs=specs, params=params,
-                             dyn=dyn)
-    _, (t_pairs, ok_pairs) = jax.lax.scan(step, carry0,
-                                          (pairs_a, pairs_b, idx))
-    transforms_seq = t_pairs.reshape(t_pad, 4)[:t_in]
-    success = ok_pairs.reshape(t_pad)[:t_in]
-    return transforms_seq, success
+    carry0 = init_pair_carry(specs, params)
+    _, transforms_seq, success = _align_pairs_scan(
+        frames, specs, params, dyn, carry0, jnp.zeros((), jnp.int32))
+    return transforms_seq[:t_in], success[:t_in]
 
 
 @functools.partial(jax.jit, static_argnames=("params", "width", "height"))
@@ -261,7 +275,8 @@ def stabilize_clip_impl(frames_bgr, params: StabilizerParams,
         t_ul = T.center_to_ul(accum.astype(jnp.float32), width, height,
                               minus_one=True)
         out = warp_image_fast(frame, t_ul, interp=params.output_interp,
-                              residual_bound=params.output_residual_bound)
+                              residual_bound=resolve_residual_bound(
+                                  params, width, height))
         if c > 0:
             out = out[c:-c, c:-c]
         return out

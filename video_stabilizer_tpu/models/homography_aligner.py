@@ -27,7 +27,8 @@ import jax
 import jax.numpy as jnp
 
 from video_stabilizer_tpu import homography as Hm
-from video_stabilizer_tpu.config import AlignerParams, StabilizerParams
+from video_stabilizer_tpu.config import (
+    AlignerParams, StabilizerParams, resolve_residual_bound)
 from video_stabilizer_tpu.models.aligner import (
     GN_CHUNK,
     LevelSpec,
@@ -322,7 +323,8 @@ def stabilize_clip_homography_impl(frames_bgr, params: StabilizerParams,
 
     def warp_one(frame, accum):
         out = warp_homography_fast(frame, accum, interp=params.output_interp,
-                                   residual_bound=params.output_residual_bound)
+                                   residual_bound=resolve_residual_bound(
+                                       params, width, height))
         if c > 0:
             out = out[c:-c, c:-c]
         return out

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from video_stabilizer_tpu import transforms as T
-from video_stabilizer_tpu.config import StabilizerParams
+from video_stabilizer_tpu.config import StabilizerParams, resolve_residual_bound
 from video_stabilizer_tpu.models.aligner import VideoAligner
 from video_stabilizer_tpu.models.smoother import L1SmootherCenter
 from video_stabilizer_tpu.ops.fast_warp import warp_image_fast
@@ -127,7 +127,7 @@ class VideoStabilizer:
         t_ul = T.center_to_ul(t, w, h, minus_one=True)
         if self._warp_fn is None:
             interp = self.params.output_interp
-            rb = self.params.output_residual_bound
+            rb = resolve_residual_bound(self.params, w, h)
             self._warp_fn = jax.jit(
                 lambda img, tt: warp_image_fast(img, tt, interp=interp,
                                                 residual_bound=rb))

@@ -8,7 +8,7 @@ hyperparameter combos. The TPU-native scale-out path is SPMD:
   axis "streams"; every stream's pipeline is independent, so XLA emits zero
   collectives and scaling is embarrassingly linear over ICI-connected chips;
 - hyperparameter sweeps vmap the dynamic parameters and shard the combo
-  axis the same way (parallel/grid_search.py).
+  axis the same way (see apps/grid_search_align.py).
 
 Multi-host note: keep streams sharded within an ICI domain; only whole
 streams ever cross DCN (as input data), never activations.

@@ -142,30 +142,66 @@ def natural_texture(height: int, width: int, seed: int = 42) -> np.ndarray:
 def synth_shaky_clip(num_frames: int, height: int, width: int,
                      seed: int = 7, jitter_px: float = 4.0,
                      pan_px_per_frame: float = 0.5,
-                     color: bool = True) -> np.ndarray:
+                     color: bool = True,
+                     rot_jitter: float = 0.0,
+                     zoom_jitter: float = 0.0) -> np.ndarray:
     """Synthesize a shaky clip: a large textured canvas viewed through a
-    window whose position = smooth pan + per-frame jitter.
+    window whose pose = smooth pan + per-frame similarity jitter.
 
-    Returns (T, H, W, 3) BGR u8 (or (T, H, W) if color=False) plus ground
+    ``rot_jitter`` / ``zoom_jitter`` are the per-frame standard deviations
+    of the window's B (rotation, rad) and A (zoom) parameters — the full
+    4-DOF model of imgproc.hpp:40-46, so E2E fixtures exercise the same
+    A/B axes the aligner solves for (translation-only fixtures can't catch
+    rotational regressions). They draw from an independent RNG stream, so
+    translation-only clips are bit-identical to the pre-extension fixture.
+
+    Returns (T, H, W, 3) BGR u8 (or (T, H, W) if color=False); ground
     truth is implicit: the jitter is exactly recoverable, making this the
     golden E2E fixture the reference lacked (recordings/ has only a
     placeholder).
     """
     r = np.random.default_rng(seed)
-    margin = int(np.ceil(jitter_px * 4 + pan_px_per_frame * num_frames)) + 8
+    r_ab = np.random.default_rng(seed + 104729)  # independent A/B stream
+    radius = float(np.hypot(width, height)) * 0.5
+    margin = int(np.ceil(jitter_px * 4 + pan_px_per_frame * num_frames
+                         + (3.0 * rot_jitter + 3.0 * zoom_jitter) * radius)
+                 ) + 8
     canvas = natural_texture(height + 2 * margin, width + 2 * margin,
                              seed=seed)
+    use_sim = rot_jitter > 0 or zoom_jitter > 0
+    if use_sim:
+        ys_g, xs_g = np.mgrid[0:height, 0:width].astype(np.float64)
+        px = xs_g - (width - 1) * 0.5
+        py = ys_g - (height - 1) * 0.5
     frames = []
     for t in range(num_frames):
         ox = margin + pan_px_per_frame * t + r.normal(0, jitter_px)
         oy = margin + r.normal(0, jitter_px)
-        # Bilinear crop at subpixel offset.
-        x0, y0 = int(np.floor(ox)), int(np.floor(oy))
-        fx, fy = ox - x0, oy - y0
-        win = canvas[y0 : y0 + height + 1, x0 : x0 + width + 1].astype(np.float64)
-        top = win[:-1, :-1] * (1 - fx) + win[:-1, 1:] * fx
-        bot = win[1:, :-1] * (1 - fx) + win[1:, 1:] * fx
-        frame = (top * (1 - fy) + bot * fy).astype(np.uint8)
+        if use_sim:
+            a_t = r_ab.normal(0, zoom_jitter) if zoom_jitter > 0 else 0.0
+            b_t = r_ab.normal(0, rot_jitter) if rot_jitter > 0 else 0.0
+            # Window-center similarity: canvas pos of output pixel p.
+            wx = (1.0 + a_t) * px - b_t * py + ox + (width - 1) * 0.5
+            wy = b_t * px + (1.0 + a_t) * py + oy + (height - 1) * 0.5
+            x0 = np.floor(wx).astype(np.int64)
+            y0 = np.floor(wy).astype(np.int64)
+            fx = wx - x0
+            fy = wy - y0
+            x0 = np.clip(x0, 0, canvas.shape[1] - 2)
+            y0 = np.clip(y0, 0, canvas.shape[0] - 2)
+            c = canvas.astype(np.float64)
+            top = c[y0, x0] * (1 - fx) + c[y0, x0 + 1] * fx
+            bot = c[y0 + 1, x0] * (1 - fx) + c[y0 + 1, x0 + 1] * fx
+            frame = (top * (1 - fy) + bot * fy).astype(np.uint8)
+        else:
+            # Bilinear crop at subpixel offset (fast translation-only path).
+            x0, y0 = int(np.floor(ox)), int(np.floor(oy))
+            fx, fy = ox - x0, oy - y0
+            win = canvas[y0 : y0 + height + 1,
+                         x0 : x0 + width + 1].astype(np.float64)
+            top = win[:-1, :-1] * (1 - fx) + win[:-1, 1:] * fx
+            bot = win[1:, :-1] * (1 - fx) + win[1:, 1:] * fx
+            frame = (top * (1 - fy) + bot * fy).astype(np.uint8)
         frames.append(frame)
     clip = np.stack(frames)
     if color:
