@@ -82,7 +82,12 @@ def main():
 
     # Distinct input per call (defeats any caching); several chunks per
     # timed rep to amortize the tunnel round-trip. State carries across all
-    # calls — this IS the unbounded-stream serving loop.
+    # calls — this IS the unbounded-stream serving loop. Within a rep the
+    # chunks are submitted WITHOUT an intermediate host sync: successive
+    # calls chain through the carried state on device (a serving loop never
+    # blocks on frame data it doesn't read), with one scalar fetch per rep
+    # as the timing boundary. A tiny device-side probe of every chunk's
+    # output is accumulated so no output computation can be elided.
     inner = int(os.environ.get("BENCH_INNER", "4"))
     variants = [jnp.asarray(clips + np.uint8(k + 1)) for k in range(inner)]
     # Warm-up past the lag window so every timed output is a real warp.
@@ -91,10 +96,13 @@ def main():
     times = []
     for _rep in range(reps):
         t0 = time.time()
-        sink = 0.0
+        probe = None
         for v in variants:
             states, out, ok = run_chunk(states, v)
-            sink += sync(out, ok)
+            p = jnp.sum(out[:, -1, ::64, ::64]) + jnp.sum(ok)
+            probe = p if probe is None else probe + p
+        _ = float(probe)  # one sync per rep
+        ok_rate[0] = float(jnp.mean(ok))
         times.append((time.time() - t0) / inner)
     best = min(times)
     fps = streams * frames / best

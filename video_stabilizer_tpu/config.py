@@ -104,6 +104,14 @@ class StabilizerParams:
     # polynomial Lanczos2 kernel (the north-star bgr_image_warp).
     output_interp: str = "bilinear"
 
+    # Output warp kernel: "pallas" = tile-local-base Pallas TPU kernel
+    # (ops/pallas_warp.py — ~25x less HBM traffic, wider rotation envelope);
+    # "fir" = global-base XLA shifted-slice FIR (ops/fast_warp.py);
+    # "auto" = pallas on real TPU backends, fir elsewhere (CPU tests run
+    # the XLA kernel compiled, and the Pallas kernel under its own
+    # interpreter-mode unit tests).
+    output_warp: str = "auto"
+
     # Static per-pixel residual bound of the gather-free output warp
     # (ops/fast_warp.py): covers |A,B| * image_radius + 1 px of
     # rotation/zoom fringe after bulk-translation removal. None (default)

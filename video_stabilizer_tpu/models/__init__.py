@@ -15,6 +15,12 @@ from video_stabilizer_tpu.models.batch import (
     stabilize_clip,
     stabilize_streams,
 )
+from video_stabilizer_tpu.models.chunked import (
+    ChunkedStabilizer,
+    StreamState,
+    init_stream_state,
+    stabilize_stream_chunked,
+)
 from video_stabilizer_tpu.models.homography_aligner import (
     align_clip_homography,
     stabilize_clip_homography,
@@ -26,6 +32,8 @@ __all__ = [
     "AlignerState", "DynAlignParams", "LevelSpec", "VideoAligner",
     "align_next_frame", "init_state", "level_specs",
     "align_clip", "stabilize_clip", "stabilize_streams",
+    "ChunkedStabilizer", "StreamState", "init_stream_state",
+    "stabilize_stream_chunked",
     "align_clip_homography", "stabilize_clip_homography",
     "L1SmootherCenter", "tvl1_smooth",
     "VideoStabilizer",

@@ -41,6 +41,65 @@ from video_stabilizer_tpu.ops import build_pyramid
 from video_stabilizer_tpu.ops.fast_warp import warp_image_fast
 
 
+def _warp_mode(params: StabilizerParams) -> str:
+    mode = params.output_warp
+    if mode == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "fir"
+    return mode
+
+
+def output_warp(frame, t_sample_ul, params: StabilizerParams,
+                width: int, height: int):
+    """The output-stage warp kernel for ONE frame, selected by
+    params.output_warp: Pallas tile-local-base kernel on real TPU backends
+    ("auto"/"pallas"), XLA shifted-slice FIR otherwise. Both pinned to the
+    exact gather oracle (tests/test_pallas_warp.py,
+    tests/test_fast_warp_oracle.py)."""
+    if _warp_mode(params) == "pallas":
+        from video_stabilizer_tpu.ops.pallas_warp import warp_image_pallas
+        return warp_image_pallas(frame, t_sample_ul,
+                                 interp=params.output_interp)
+    return warp_image_fast(frame, t_sample_ul, interp=params.output_interp,
+                           residual_bound=resolve_residual_bound(
+                               params, width, height))
+
+
+def warp_delayed(delayed, accums, params: StabilizerParams,
+                 width: int, height: int):
+    """Warp + crop a batch of delayed frames by their accumulated
+    corrections. ``delayed``: (..., H, W, C) u8, ``accums``: (..., 4).
+
+    The Pallas kernel takes the whole batch in ONE call (leading axes fold
+    into its grid — Pallas ANY-space operands cannot live under vmap, so
+    the stream pipelines hoist this stage out of their stream-vmap); the
+    FIR path maps sequentially over frames to bound its ~30 MB/frame of
+    f32 intermediates.
+    """
+    t_ul = T.center_to_ul(accums.astype(jnp.float32), width, height,
+                          minus_one=True)
+    c = params.crop_pixels
+    squeeze = delayed.shape[-1] != 3       # grayscale stream: no channel axis
+    if squeeze:
+        delayed = delayed[..., None]
+    if _warp_mode(params) == "pallas":
+        from video_stabilizer_tpu.ops.pallas_warp import warp_frames_pallas
+        out = warp_frames_pallas(delayed, t_ul, interp=params.output_interp)
+    else:
+        batch_shape = delayed.shape[:-3]
+        flat_frames = delayed.reshape((-1,) + delayed.shape[-3:])
+        flat_t = t_ul.reshape(-1, 4)
+        rb = resolve_residual_bound(params, width, height)
+        out = jax.lax.map(
+            lambda args: warp_image_fast(args[0], args[1],
+                                         interp=params.output_interp,
+                                         residual_bound=rb),
+            (flat_frames, flat_t))
+        out = out.reshape(batch_shape + out.shape[1:])
+    if c > 0:
+        out = out[..., c:-c, c:-c, :]
+    return out[..., 0] if squeeze else out
+
+
 class _PairCarry(NamedTuple):
     key_pyr: tuple   # per-level (h, w) u8 keyframe images
     key: tuple       # per-level LevelKeyData
@@ -243,13 +302,12 @@ def accumulate_corrections(measurements, success, smoothed,
     return accums[lag:]
 
 
-def stabilize_clip_impl(frames_bgr, params: StabilizerParams,
+def stabilize_clip_core(frames_bgr, params: StabilizerParams,
                         width: int, height: int):
-    """Full on-device stabilization of a (T, H, W, C) u8 clip.
-
-    Returns (stabilized (T - lag, H - 2c, W - 2c, C) u8,
-             transforms (T, 4), success (T,)).
-    """
+    """Everything up to (but excluding) the output warp: align, smooth,
+    accumulate. Returns (delayed frames (T - lag, ...), accums (T - lag, 4),
+    meas (T, 4), success (T,)). Kept warp-free so the stream pipelines can
+    vmap this part and run the Pallas warp ONCE over the whole batch."""
     if frames_bgr.shape[0] <= params.lag:
         raise ValueError(
             f"clip length {frames_bgr.shape[0]} must exceed lag={params.lag} "
@@ -265,27 +323,20 @@ def stabilize_clip_impl(frames_bgr, params: StabilizerParams,
         smoothed = meas
     accums = accumulate_corrections(meas, success, smoothed, params,
                                     width, height)
-
-    c = params.crop_pixels
     delayed = frames_bgr[: frames_bgr.shape[0] - params.lag]
+    return delayed, accums, meas, success
 
-    def warp_one(frame, accum):
-        # warpBySimilarityTransform(frame, accum^-1) == sample at accum
-        # (see ops/warp.py direction note). Gather-free fast path.
-        t_ul = T.center_to_ul(accum.astype(jnp.float32), width, height,
-                              minus_one=True)
-        out = warp_image_fast(frame, t_ul, interp=params.output_interp,
-                              residual_bound=resolve_residual_bound(
-                                  params, width, height))
-        if c > 0:
-            out = out[c:-c, c:-c]
-        return out
 
-    # Sequential over output frames (lax.map == scan): each frame's warp has
-    # ~30 MB of f32 intermediates, so vmapping all frames at once OOMs at
-    # 1080p x many streams; under the stream-vmap this still runs one warp
-    # per stream in parallel per step.
-    stabilized = jax.lax.map(lambda args: warp_one(*args), (delayed, accums))
+def stabilize_clip_impl(frames_bgr, params: StabilizerParams,
+                        width: int, height: int):
+    """Full on-device stabilization of a (T, H, W, C) u8 clip.
+
+    Returns (stabilized (T - lag, H - 2c, W - 2c, C) u8,
+             transforms (T, 4), success (T,)).
+    """
+    delayed, accums, meas, success = stabilize_clip_core(
+        frames_bgr, params, width, height)
+    stabilized = warp_delayed(delayed, accums, params, width, height)
     return stabilized, meas, success
 
 
@@ -312,8 +363,12 @@ def stabilize_clip(frames_bgr, params: StabilizerParams = StabilizerParams()):
 
 @functools.partial(jax.jit, static_argnames=("params", "width", "height"))
 def _stabilize_streams_jit(frames, params, width, height):
-    return jax.vmap(
-        lambda f: stabilize_clip_impl(f, params, width, height))(frames)
+    # Core under vmap; the warp hoisted out so the Pallas kernel sees the
+    # whole (S, T - lag) batch in one call (its grid IS the batch axis).
+    delayed, accums, meas, success = jax.vmap(
+        lambda f: stabilize_clip_core(f, params, width, height))(frames)
+    out = warp_delayed(delayed, accums, params, width, height)
+    return out, meas, success
 
 
 def stabilize_streams(frames_bgr, params: StabilizerParams = StabilizerParams()):

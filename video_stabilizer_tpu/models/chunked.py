@@ -39,16 +39,16 @@ import jax
 import jax.numpy as jnp
 
 from video_stabilizer_tpu import transforms as T
-from video_stabilizer_tpu.config import StabilizerParams, resolve_residual_bound
+from video_stabilizer_tpu.config import StabilizerParams
 from video_stabilizer_tpu.models.aligner import level_specs
 from video_stabilizer_tpu.models.batch import (
     _PairCarry,
     _align_pairs_scan,
     _bgr_to_gray_batched,
     init_pair_carry,
+    warp_delayed,
 )
 from video_stabilizer_tpu.models.smoother import tvl1_smooth
-from video_stabilizer_tpu.ops.fast_warp import warp_image_fast
 
 
 class StreamState(NamedTuple):
@@ -111,14 +111,13 @@ def _chunk_smoothed(full_meas, steps_seen, tc, params: StabilizerParams):
     return jax.vmap(smooth_one)(windows, middle, valid)
 
 
-def stabilize_chunk_impl(state: StreamState, frames_bgr,
+def stabilize_chunk_core(state: StreamState, frames_bgr,
                          params: StabilizerParams, width: int, height: int):
-    """Stabilize one even-length chunk, carrying state across calls.
+    """One chunk, everything up to (but excluding) the output warp.
 
-    Returns (new_state, out (Tc, H-2c, W-2c, C) u8, meas (Tc, 4),
-    success (Tc,), out_valid (Tc,)): ``out_valid[j]`` is False for the
-    first ``lag`` outputs of a fresh stream (no frame to warp yet —
-    the streaming path returns None there, stabilizer.cpp:44-46).
+    Returns (new_state, delayed (Tc, H, W, C), accums (Tc, 4), meas,
+    success, out_valid). Warp-free so the stream pipeline can vmap this
+    part and run the Pallas warp once over the whole (S, Tc) batch.
     """
     tc = frames_bgr.shape[0]
     if tc % 2:
@@ -179,19 +178,6 @@ def stabilize_chunk_impl(state: StreamState, frames_bgr,
     # is position j of [carried frame tail | chunk frames].
     all_frames = jnp.concatenate([state.frame_tail, frames_bgr], axis=0)
     delayed = all_frames[:tc]
-    c = params.crop_pixels
-
-    def warp_one(frame, accum):
-        t_ul = T.center_to_ul(accum.astype(jnp.float32), width, height,
-                              minus_one=True)
-        out = warp_image_fast(frame, t_ul, interp=params.output_interp,
-                              residual_bound=resolve_residual_bound(
-                                  params, width, height))
-        if c > 0:
-            out = out[c:-c, c:-c]
-        return out
-
-    stabilized = jax.lax.map(lambda args: warp_one(*args), (delayed, accums))
 
     new_state = StreamState(
         pair=pair_carry,
@@ -201,6 +187,21 @@ def stabilize_chunk_impl(state: StreamState, frames_bgr,
         frame_tail=all_frames[tc:],
         steps_seen=state.steps_seen + tc,
     )
+    return new_state, delayed, accums, meas_c, succ_c, m_valid
+
+
+def stabilize_chunk_impl(state: StreamState, frames_bgr,
+                         params: StabilizerParams, width: int, height: int):
+    """Stabilize one even-length chunk, carrying state across calls.
+
+    Returns (new_state, out (Tc, H-2c, W-2c, C) u8, meas (Tc, 4),
+    success (Tc,), out_valid (Tc,)): ``out_valid[j]`` is False for the
+    first ``lag`` outputs of a fresh stream (no frame to warp yet —
+    the streaming path returns None there, stabilizer.cpp:44-46).
+    """
+    new_state, delayed, accums, meas_c, succ_c, m_valid = (
+        stabilize_chunk_core(state, frames_bgr, params, width, height))
+    stabilized = warp_delayed(delayed, accums, params, width, height)
     return new_state, stabilized, meas_c, succ_c, m_valid
 
 
@@ -213,9 +214,13 @@ def _stabilize_chunk_jit(state, frames, params, width, height):
 @functools.partial(jax.jit, static_argnames=("params", "width", "height"),
                    donate_argnums=(0,))
 def _stabilize_chunk_streams_jit(states, frames, params, width, height):
-    return jax.vmap(
-        lambda st, f: stabilize_chunk_impl(st, f, params, width, height)
+    # Core under vmap; the warp hoisted out so the Pallas kernel sees the
+    # whole (S, Tc) batch in one call (its grid IS the batch axis).
+    new_states, delayed, accums, meas, succ, valid = jax.vmap(
+        lambda st, f: stabilize_chunk_core(st, f, params, width, height)
     )(states, frames)
+    out = warp_delayed(delayed, accums, params, width, height)
+    return new_states, out, meas, succ, valid
 
 
 class ChunkedStabilizer:

@@ -30,10 +30,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from video_stabilizer_tpu import transforms as T
-from video_stabilizer_tpu.config import StabilizerParams, resolve_residual_bound
+from video_stabilizer_tpu.config import StabilizerParams
 from video_stabilizer_tpu.models.aligner import VideoAligner
 from video_stabilizer_tpu.models.smoother import L1SmootherCenter
-from video_stabilizer_tpu.ops.fast_warp import warp_image_fast
 from video_stabilizer_tpu.utils.metrics import time_function
 
 
@@ -126,11 +125,10 @@ class VideoStabilizer:
         t = jnp.asarray(accum, jnp.float32)
         t_ul = T.center_to_ul(t, w, h, minus_one=True)
         if self._warp_fn is None:
-            interp = self.params.output_interp
-            rb = resolve_residual_bound(self.params, w, h)
+            from video_stabilizer_tpu.models.batch import output_warp
+            params = self.params
             self._warp_fn = jax.jit(
-                lambda img, tt: warp_image_fast(img, tt, interp=interp,
-                                                residual_bound=rb))
+                lambda img, tt: output_warp(img, tt, params, w, h))
         return self._warp_fn(frame_dev, t_ul)
 
     def process_frame(self, frame_bgr):

@@ -1,0 +1,285 @@
+"""Pallas TPU output warp with BLOCK-LOCAL integer bases, batched.
+
+The XLA FIR warp (ops/fast_warp.py) removes one global integer translation
+and spends 2*(m+1) full-frame shifted-add taps per axis, with every tap a
+fresh HBM read of the padded source; its residual bound m must cover
+|A,B| * full_image_radius. This kernel restructures the same math around
+the memory hierarchy (SURVEY.md §2.2's schedule layer, done the TPU way):
+
+  - the batch of output frames is tiled over a (frame, rows, cols) grid;
+    each program computes one (TILE_H, TILE_W) tile for all channels of one
+    frame — batching lives IN the grid, not in an outer vmap (Pallas ANY-
+    space operands cannot be batched by vmap);
+  - each tile removes its OWN integer base displacement — the warp
+    evaluated at the tile center, rounded — with one haloed u8 block DMA
+    from HBM into VMEM;
+  - the residual the separable FIR must absorb is then only
+    |A,B| * tile_radius + subpixel, so m = 3 covers |A,B| <= ~0.008 at ANY
+    resolution (vs 0.0027 at 1080p for the global-base kernel with m = 4)
+    while doing 8 taps/axis instead of 10;
+  - the y-pass intermediate lives entirely in VMEM: HBM traffic per frame
+    is one zero-pad of the source, one ~1.6x tile-halo read, and one
+    output write — vs tap-per-tap HBM reads in the XLA FIR version.
+
+Mosaic alignment contract (discovered empirically; the compiler refuses
+anything else): HBM DMA slice OFFSETS and SHAPES must be aligned to the
+u8 (8, 128) tiling. The per-tile base is therefore rounded DOWN to the
+tiling grid and the remainder absorbed in VMEM:
+  - row remainder qy in [0, 8): folded into each y-tap's dynamic sublane
+    start (vector loads support runtime sublane offsets);
+  - column remainder qx in [0, 128): lanes allow NO dynamic offsets at
+    all, so the shift is a one-hot (BW, TW + 2*(m+2)) band-matrix matmul
+    on the MXU — bf16 inputs (u8-derived values are exact in bf16), f32
+    accumulation, ~2% of the pipeline's FLOPs.
+
+Same approximation contract as fast_warp (the y-pass weight is evaluated
+at the read column; error O(B * halo * |grad|)), same zero border, same u8
+rounding — pinned against warp_image_bgr / warp_image_fast in
+tests/test_pallas_warp.py.
+
+Replaces the reference's cv::warpAffine INTER_LINEAR output warp
+(imgproc.cpp:446-484) on the TPU serving path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from video_stabilizer_tpu.ops.lanczos import lanczos2
+
+# 1080p/4K tile: 1080 = 5*216, 2160 = 10*216; 1920 -> 4x512 blocks
+# (last block 25% padded; 640-wide tiles OOM the 16M scoped VMEM).
+TILE_H = 216
+TILE_W = 512
+MAX_SHIFT = 192  # static bound on the bulk translation, like fast_warp
+BH_PAD = 24      # extra DMA rows: 2*XT + qy(<8), rounded to the 8-tiling
+BW_PAD = 256     # extra DMA cols: 2*XT + qx(<128), rounded to the 128-tiling
+
+
+def _hat(t):
+    return jnp.maximum(0.0, 1.0 - jnp.abs(t))
+
+
+def _warp_kernel(t_ref, img_ref, out_ref, scratch, shifted, sem, *,
+                 m, interp, c, pad_lo, tile_h, tile_w):
+    """One (tile_h, tile_w) output tile, all channels of frame pid(0).
+
+    t_ref: (B, 4) SMEM [a, b, tx, ty] origin-based sampling transforms
+      (full array — SMEM lanes can't be block-subdivided); row pid(0).
+    img_ref: (B, C, Hp, Wp) zero-padded planar u8 source in HBM/ANY.
+    out_ref: (1, C, tile_h, tile_w) u8 VMEM block.
+    scratch: (C, tile_h + BH_PAD, tile_w + BW_PAD) u8 VMEM.
+    shifted: (C, tile_h + BH_PAD, tile_w + 2*(m+2)) bf16 VMEM — the
+      column-remainder-shifted block (values still exact u8 integers).
+    """
+    f32 = jnp.float32
+    xt = m + 2                      # tap reach per side
+    bi = pl.program_id(0)
+    ti = pl.program_id(1)
+    tj = pl.program_id(2)
+    a = t_ref[bi, 0]
+    b = t_ref[bi, 1]
+    tx = t_ref[bi, 2]
+    ty = t_ref[bi, 3]
+
+    y0 = ti * tile_h
+    x0 = tj * tile_w
+    y0f = y0.astype(f32)
+    x0f = x0.astype(f32)
+
+    # Tile-local integer base: the warp displacement at the tile center,
+    # rounded, clamped to the static pad budget.
+    xc = x0f + tile_w * 0.5
+    yc = y0f + tile_h * 0.5
+    kx = jnp.clip(jnp.round((1.0 + a) * xc - b * yc + tx - xc),
+                  -MAX_SHIFT, MAX_SHIFT).astype(jnp.int32)
+    ky = jnp.clip(jnp.round(b * xc + (1.0 + a) * yc + ty - yc),
+                  -MAX_SHIFT, MAX_SHIFT).astype(jnp.int32)
+
+    # Tiling-aligned DMA base (padded coords); remainders qy/qx absorbed
+    # in VMEM below.
+    raw_y = y0 + ky + pad_lo - xt
+    raw_x = x0 + kx + pad_lo - xt
+    base_y = pl.multiple_of((raw_y // 8) * 8, 8)
+    base_x = pl.multiple_of((raw_x // 128) * 128, 128)
+    qy = raw_y - base_y
+    qx = raw_x - base_x
+    blk_h = tile_h + BH_PAD
+    blk_w = tile_w + BW_PAD
+    cp = pltpu.make_async_copy(
+        img_ref.at[bi, :, pl.ds(base_y, blk_h), pl.ds(base_x, blk_w)],
+        scratch, sem)
+    cp.start()
+
+    weight = _hat if interp == "bilinear" else lanczos2
+    lo = -m if interp == "bilinear" else -m - 1
+    hi = m + 2 if interp == "bilinear" else m + 3
+    need_den = interp != "bilinear"
+
+    # Residual sample positions over the x-extended columns the x-taps
+    # will read. Column u of the shifted block feeds output columns near
+    # x0 + u - xt, so the y-pass weight is evaluated at THAT output
+    # column (fast_warp's read-column approximation — NOT at the source
+    # column, which sits a further bulk-shift kx away and would add an
+    # O(B * kx) position error).
+    tws = tile_w + 2 * xt
+    rows_e = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tws), 0)
+              .astype(f32) + y0f)
+    cols_e = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tws), 1)
+              .astype(f32) - float(xt) + x0f)
+    wy = b * cols_e + (1.0 + a) * rows_e + ty
+    ry = jnp.clip(wy - rows_e - ky.astype(f32), -float(m), float(m))
+
+    cp.wait()
+
+    # Column-remainder shift as a one-hot band matmul (MXU), ONCE for the
+    # whole block: S[j, u] = 1 iff scratch column j holds true column
+    # x0 + kx - xt + u, i.e. j == u + qx. u8-derived values are exact in
+    # bf16, so the shifted store stays bit-exact.
+    j_iota = jax.lax.broadcasted_iota(jnp.int32, (blk_w, tws), 0)
+    u_iota = jax.lax.broadcasted_iota(jnp.int32, (blk_w, tws), 1)
+    sh_mat = (j_iota == u_iota + qx).astype(jnp.bfloat16)
+    # 2-D operands only (3-D dot_general crashes the Mosaic compiler);
+    # merging (c, blk_h) into sublanes keeps the minor dim untouched.
+    blk_bf16 = (scratch[...].astype(jnp.int32).astype(jnp.bfloat16)
+                .reshape(c * blk_h, blk_w))
+    shifted[...] = jax.lax.dot_general(
+        blk_bf16, sh_mat,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32).astype(jnp.bfloat16).reshape(
+            c, blk_h, tws)
+
+    # Row remainder: VMEM sublane offsets must ALSO be 8-aligned, so qy
+    # cannot go into the slice start; it shifts the residual instead and
+    # the tap range extends by 8 (static slice starts, dynamic weights).
+    # shifted[d + i] holds true row y0 + ky - xt - qy + d + i, so tap d
+    # carries weight w(ry + xt + qy - d).
+    ry_eff = ry + float(xt) + qy.astype(f32)
+    lo2 = lo + xt
+    hi2 = hi + xt + 8
+    tmp = jnp.zeros((c, tile_h, tws), f32)
+    den_y = jnp.zeros((tile_h, tws), f32) if need_den else None
+    for d in range(lo2, hi2):
+        rows = shifted[:, d : d + tile_h, :].astype(f32)
+        wgt = weight(ry_eff - d)
+        tmp = tmp + wgt[None] * rows
+        if need_den:
+            den_y = den_y + wgt
+
+    rows_o = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
+              .astype(f32) + y0f)
+    cols_o = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
+              .astype(f32) + x0f)
+    wx = (1.0 + a) * cols_o - b * rows_o + tx
+    rx = jnp.clip(wx - cols_o - kx.astype(f32), -float(m), float(m))
+
+    # Unaligned static LANE slices crash the Mosaic compiler; rotate the
+    # lanes instead. pltpu.roll only rolls right, so a left shift by k is
+    # a right roll by tws - k: rolled[x] = tmp[(x + k) mod tws], and
+    # x + k < tws for every x < tile_w, so [:tile_w] never sees wrapped
+    # columns.
+    out = jnp.zeros((c, tile_h, tile_w), f32)
+    den = jnp.zeros((tile_h, tile_w), f32) if need_den else None
+    for e in range(lo, hi):
+        wgt = weight(rx - e)
+        rolled = pltpu.roll(tmp, tws - (xt + e), 2)[:, :, :tile_w]
+        out = out + wgt[None] * rolled
+        if need_den:
+            den = den + wgt * pltpu.roll(den_y, tws - (xt + e),
+                                         1)[:, :tile_w]
+
+    if need_den:
+        out = out / jnp.maximum(den[None], 1e-6)
+    # Mosaic has no direct f32 <-> u8 casts; hop through int32.
+    out_ref[0] = (jnp.clip(jnp.round(out), 0.0, 255.0)
+                  .astype(jnp.int32).astype(jnp.uint8))
+
+
+def warp_frames_pallas(frames, ts, interp: str = "bilinear",
+                       local_bound: int = 3, interpret: bool | None = None):
+    """Batched dst(p) = interp(img, W(p)) with zero border (Pallas TPU).
+
+    Args:
+      frames: (..., H, W, C) u8 — arbitrary leading batch axes (streams,
+        time); they are flattened into the kernel grid.
+      ts: (..., 4) matching origin-based *sampling* transforms.
+      interp: "bilinear" (cv INTER_LINEAR parity) or "lanczos2".
+      local_bound: static residual bound m AFTER tile-local base removal;
+        3 covers |A,B| <= (m-1)/tile_radius ~= 0.008 at any resolution.
+      interpret: force Pallas interpreter mode (None = auto: interpret
+        everywhere except real TPU backends, so CPU tests run this kernel).
+
+    Returns:
+      (..., H, W, C) u8 warped frames.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    batch_shape = frames.shape[:-3]
+    h, w, c = frames.shape[-3:]
+    bsz = 1
+    for d in batch_shape:
+        bsz *= d
+    flat = frames.reshape((bsz, h, w, c))
+    ts_flat = ts.reshape((bsz, 4)).astype(jnp.float32)
+
+    m = local_bound
+    xt = m + 2
+    assert 2 * xt + 8 <= BH_PAD and 2 * xt + 128 <= BW_PAD, \
+        "taps exceed the aligned DMA halo"
+    # Low pad: the aligned base can sit up to 127 cols / 7 rows below the
+    # raw base, which itself reaches MAX_SHIFT + xt below the image.
+    pad_lo = MAX_SHIFT + xt + 128
+    grid = (bsz, pl.cdiv(h, TILE_H), pl.cdiv(w, TILE_W))
+    # High pad: bulk shift + block extent + grid overshoot.
+    pad_hi_y = MAX_SHIFT + BH_PAD + grid[1] * TILE_H - h + 8
+    pad_hi_x = MAX_SHIFT + BW_PAD + grid[2] * TILE_W - w + 8
+
+    planar = jnp.pad(flat.transpose(0, 3, 1, 2),
+                     ((0, 0), (0, 0), (pad_lo, pad_hi_y),
+                      (pad_lo, pad_hi_x)))
+
+    kernel = functools.partial(
+        _warp_kernel, m=m, interp=interp, c=c,
+        pad_lo=pad_lo, tile_h=TILE_H, tile_w=TILE_W)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bsz, c, h, w), jnp.uint8),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, c, TILE_H, TILE_W),
+                               lambda b, i, j: (b, 0, i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((c, TILE_H + BH_PAD, TILE_W + BW_PAD), jnp.uint8),
+            pltpu.VMEM((c, TILE_H + BH_PAD, TILE_W + 2 * xt), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(ts_flat, planar)
+
+    return out.transpose(0, 2, 3, 1).reshape(batch_shape + (h, w, c))
+
+
+def warp_image_pallas(img, t_sample_ul, interp: str = "bilinear",
+                      local_bound: int = 3, out_dtype=jnp.uint8,
+                      interpret: bool | None = None):
+    """Single-image wrapper of :func:`warp_frames_pallas` (accepts (H, W)
+    or (H, W, C) u8)."""
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[..., None]
+    out = warp_frames_pallas(img[None], t_sample_ul[None], interp=interp,
+                             local_bound=local_bound, interpret=interpret)
+    out = out[0].astype(out_dtype)
+    return out[..., 0] if squeeze else out
