@@ -96,6 +96,24 @@ def test_stabilize_clip_homography_reduces_jitter():
     assert out_j < 0.65 * in_j, (in_j, out_j)
 
 
+def test_config4_phase_lanczos_homography_e2e():
+    """BASELINE.json config 4 at reduced size: 8-DOF homography model +
+    phase-correlation init + Lanczos2 output warp, on a clip with
+    rotational/zoom jitter (the 4K serving configuration, exercised E2E
+    so apps/bench_configs.py --mode 4k runs a tested path)."""
+    clip = synth_shaky_clip(16, 144, 192, seed=67, jitter_px=0.9,
+                            pan_px_per_frame=0.3, rot_jitter=0.003,
+                            zoom_jitter=0.002)
+    params = StabilizerParams(
+        aligner=AlignerParams(phase_correlate=True),
+        output_interp="lanczos2", lag=4, smoother_memory=2, crop_pixels=10)
+    out, meas, ok = stabilize_clip_homography(clip, params)
+    assert np.asarray(ok)[2:].all()
+    in_j = median_jitter_px(clip)
+    out_j = median_jitter_px(list(np.asarray(out)))
+    assert out_j < 0.65 * in_j, (in_j, out_j)
+
+
 def test_eigh_sym8():
     from video_stabilizer_tpu.ops.linalg import eigh_sym
     r = np.random.default_rng(2)
