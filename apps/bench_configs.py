@@ -33,7 +33,7 @@ def bench_4k(streams: int, frames: int, reps: int):
 
     from video_stabilizer_tpu.config import AlignerParams, StabilizerParams
     from video_stabilizer_tpu.models.homography_aligner import (
-        stabilize_clip_homography_impl)
+        _stabilize_streams_h_jit)
     from video_stabilizer_tpu.utils.io import synth_shaky_clip
 
     h, w = 2160, 3840
@@ -44,12 +44,8 @@ def bench_4k(streams: int, frames: int, reps: int):
                             pan_px_per_frame=0.3)
     clips = jnp.asarray(np.broadcast_to(clip, (streams,) + clip.shape).copy())
 
-    import functools
-
-    @functools.partial(jax.jit, static_argnames=("params",))
     def run(x, params):
-        return jax.vmap(
-            lambda f: stabilize_clip_homography_impl(f, params, w, h))(x)
+        return _stabilize_streams_h_jit(x, params, w, h)
 
     def sync(out):
         return float(jnp.sum(out[:, -1, ::64, ::64]))

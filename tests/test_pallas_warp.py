@@ -73,6 +73,35 @@ def test_lanczos2():
     assert np.mean(diff <= 2) > 0.999, (np.mean(diff <= 2), diff.max())
 
 
+def test_homography_model():
+    """model="homography" against the gather oracle via the similarity
+    embedding (zero perspective) and with real perspective terms against
+    warp_homography_fast."""
+    from video_stabilizer_tpu import homography as Hm
+    from video_stabilizer_tpu import transforms as T
+    from video_stabilizer_tpu.ops.fast_warp import warp_homography_fast
+    from video_stabilizer_tpu.ops.pallas_warp import warp_frames_pallas
+
+    img = color_image(seed=37)
+    t_center = jnp.asarray([0.004, -0.006, 9.0, -5.0], jnp.float32)
+    p = Hm.sim_to_homography(t_center, W, H)
+    got = np.asarray(warp_frames_pallas(
+        jnp.asarray(img)[None], p[None], model="homography")[0], np.int32)
+    t_ul = T.center_to_ul(t_center, W, H, minus_one=False)
+    exact = np.asarray(
+        warp_image_bgr(jnp.asarray(img), t_ul, border="zero"), np.int32)
+    diff = np.abs(got - exact)
+    assert np.mean(diff <= 2) > 0.999, (np.mean(diff <= 2), diff.max())
+
+    p2 = jnp.asarray([0.003, -0.002, 6.0 / W, 0.004, 0.001, -4.0 / W,
+                      0.01, -0.008], jnp.float32)
+    got2 = np.asarray(warp_frames_pallas(
+        jnp.asarray(img)[None], p2[None], model="homography")[0], np.int32)
+    fir2 = np.asarray(warp_homography_fast(jnp.asarray(img), p2), np.int32)
+    diff2 = np.abs(got2 - fir2)
+    assert np.mean(diff2 <= 2) > 0.995, (np.mean(diff2 <= 2), diff2.max())
+
+
 def test_grayscale_input():
     img = natural_image(H, W, seed=23)
     got, exact = run_pair(img, [0.0, 0.0, 3.5, -1.25])

@@ -308,8 +308,39 @@ def accumulate_corrections_h(measurements, success, smoothed,
     return accums[lag:]
 
 
-def stabilize_clip_homography_impl(frames_bgr, params: StabilizerParams,
+def warp_delayed_homography(delayed, accums, params: StabilizerParams,
+                            width, height):
+    """Warp + crop delayed frames by (..., 8) homography corrections —
+    Pallas tile-local-base kernel on TPU ("auto"/"pallas"), XLA field FIR
+    otherwise (same selector contract as batch.warp_delayed)."""
+    from video_stabilizer_tpu.models.batch import _warp_mode
+
+    c = params.crop_pixels
+    if _warp_mode(params) == "pallas":
+        from video_stabilizer_tpu.ops.pallas_warp import warp_frames_pallas
+        out = warp_frames_pallas(delayed, accums.astype(jnp.float32),
+                                 interp=params.output_interp,
+                                 model="homography")
+    else:
+        batch_shape = delayed.shape[:-3]
+        flat_frames = delayed.reshape((-1,) + delayed.shape[-3:])
+        flat_p = accums.reshape(-1, 8)
+        rb = resolve_residual_bound(params, width, height)
+        out = jax.lax.map(
+            lambda a: warp_homography_fast(a[0], a[1],
+                                           interp=params.output_interp,
+                                           residual_bound=rb),
+            (flat_frames, flat_p))
+        out = out.reshape(batch_shape + out.shape[1:])
+    if c > 0:
+        out = out[..., c:-c, c:-c, :]
+    return out
+
+
+def stabilize_clip_homography_core(frames_bgr, params: StabilizerParams,
                                    width, height):
+    """Align + smooth + accumulate (no warp) — vmappable over streams with
+    the Pallas warp hoisted out, like batch.stabilize_clip_core."""
     if frames_bgr.shape[0] <= params.lag:
         raise ValueError("clip length must exceed lag")
     gray = _bgr_to_gray_batched(frames_bgr)
@@ -318,18 +349,16 @@ def stabilize_clip_homography_impl(frames_bgr, params: StabilizerParams,
     smoothed = smooth_trajectory(meas, params) if params.enable_smoother else meas
     accums = accumulate_corrections_h(meas, success, smoothed, params,
                                       width, height)
-    c = params.crop_pixels
     delayed = frames_bgr[: frames_bgr.shape[0] - params.lag]
+    return delayed, accums, meas, success
 
-    def warp_one(frame, accum):
-        out = warp_homography_fast(frame, accum, interp=params.output_interp,
-                                   residual_bound=resolve_residual_bound(
-                                       params, width, height))
-        if c > 0:
-            out = out[c:-c, c:-c]
-        return out
 
-    stabilized = jax.lax.map(lambda a: warp_one(*a), (delayed, accums))
+def stabilize_clip_homography_impl(frames_bgr, params: StabilizerParams,
+                                   width, height):
+    delayed, accums, meas, success = stabilize_clip_homography_core(
+        frames_bgr, params, width, height)
+    stabilized = warp_delayed_homography(delayed, accums, params,
+                                         width, height)
     return stabilized, meas, success
 
 
@@ -344,3 +373,20 @@ def stabilize_clip_homography(frames_bgr,
     frames_bgr = jnp.asarray(frames_bgr)
     h, w = frames_bgr.shape[1], frames_bgr.shape[2]
     return _stabilize_clip_h_jit(frames_bgr, params, w, h)
+
+
+@functools.partial(jax.jit, static_argnames=("params", "width", "height"))
+def _stabilize_streams_h_jit(frames, params, width, height):
+    delayed, accums, meas, success = jax.vmap(
+        lambda f: stabilize_clip_homography_core(f, params, width, height)
+    )(frames)
+    out = warp_delayed_homography(delayed, accums, params, width, height)
+    return out, meas, success
+
+
+def stabilize_streams_homography(frames_bgr,
+                                 params: StabilizerParams = StabilizerParams()):
+    """Multi-stream 8-DOF batch: (S, T, H, W, 3) u8 -> (S, T - lag, ...)."""
+    frames_bgr = jnp.asarray(frames_bgr)
+    h, w = frames_bgr.shape[2], frames_bgr.shape[3]
+    return _stabilize_streams_h_jit(frames_bgr, params, w, h)

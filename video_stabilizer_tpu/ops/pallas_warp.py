@@ -65,12 +65,39 @@ def _hat(t):
     return jnp.maximum(0.0, 1.0 - jnp.abs(t))
 
 
+def _positions_similarity(t_row, rows, cols):
+    """Sampling positions of the 4-param similarity (origin-based)."""
+    a, b, tx, ty = t_row[0], t_row[1], t_row[2], t_row[3]
+    wx = (1.0 + a) * cols - b * rows + tx
+    wy = b * cols + (1.0 + a) * rows + ty
+    return wx, wy
+
+
+def _positions_homography(t_row, rows, cols, img_w, img_h):
+    """Sampling positions of the 8-param normalized homography — the same
+    centered width-normalized parameterization as homography.warp_points
+    (center W*0.5, scale 1/W)."""
+    cx = img_w * 0.5
+    cy = img_h * 0.5
+    inv_w = 1.0 / img_w
+    u = (cols - cx) * inv_w
+    v = (rows - cy) * inv_w
+    num_x = (1.0 + t_row[0]) * u + t_row[1] * v + t_row[2]
+    num_y = t_row[3] * u + (1.0 + t_row[4]) * v + t_row[5]
+    den = t_row[6] * u + t_row[7] * v + 1.0
+    inv_den = 1.0 / den
+    wx = num_x * inv_den * img_w + cx
+    wy = num_y * inv_den * img_w + cy
+    return wx, wy
+
+
 def _warp_kernel(t_ref, img_ref, out_ref, scratch, shifted, sem, *,
-                 m, interp, c, pad_lo, tile_h, tile_w):
+                 m, interp, c, pad_lo, tile_h, tile_w, model, img_w, img_h):
     """One (tile_h, tile_w) output tile, all channels of frame pid(0).
 
-    t_ref: (B, 4) SMEM [a, b, tx, ty] origin-based sampling transforms
-      (full array — SMEM lanes can't be block-subdivided); row pid(0).
+    t_ref: (B, P) SMEM sampling-transform rows (P=4 similarity origin-based
+      [a, b, tx, ty]; P=8 normalized homography) — full array, SMEM lanes
+      can't be block-subdivided; this program reads row pid(0).
     img_ref: (B, C, Hp, Wp) zero-padded planar u8 source in HBM/ANY.
     out_ref: (1, C, tile_h, tile_w) u8 VMEM block.
     scratch: (C, tile_h + BH_PAD, tile_w + BW_PAD) u8 VMEM.
@@ -82,10 +109,13 @@ def _warp_kernel(t_ref, img_ref, out_ref, scratch, shifted, sem, *,
     bi = pl.program_id(0)
     ti = pl.program_id(1)
     tj = pl.program_id(2)
-    a = t_ref[bi, 0]
-    b = t_ref[bi, 1]
-    tx = t_ref[bi, 2]
-    ty = t_ref[bi, 3]
+    nparams = 4 if model == "similarity" else 8
+    t_row = [t_ref[bi, k] for k in range(nparams)]
+
+    def positions(rows, cols):
+        if model == "similarity":
+            return _positions_similarity(t_row, rows, cols)
+        return _positions_homography(t_row, rows, cols, img_w, img_h)
 
     y0 = ti * tile_h
     x0 = tj * tile_w
@@ -96,9 +126,10 @@ def _warp_kernel(t_ref, img_ref, out_ref, scratch, shifted, sem, *,
     # rounded, clamped to the static pad budget.
     xc = x0f + tile_w * 0.5
     yc = y0f + tile_h * 0.5
-    kx = jnp.clip(jnp.round((1.0 + a) * xc - b * yc + tx - xc),
+    wxc, wyc = positions(yc, xc)
+    kx = jnp.clip(jnp.round(wxc - xc),
                   -MAX_SHIFT, MAX_SHIFT).astype(jnp.int32)
-    ky = jnp.clip(jnp.round(b * xc + (1.0 + a) * yc + ty - yc),
+    ky = jnp.clip(jnp.round(wyc - yc),
                   -MAX_SHIFT, MAX_SHIFT).astype(jnp.int32)
 
     # Tiling-aligned DMA base (padded coords); remainders qy/qx absorbed
@@ -132,7 +163,7 @@ def _warp_kernel(t_ref, img_ref, out_ref, scratch, shifted, sem, *,
               .astype(f32) + y0f)
     cols_e = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tws), 1)
               .astype(f32) - float(xt) + x0f)
-    wy = b * cols_e + (1.0 + a) * rows_e + ty
+    wy = positions(rows_e, cols_e)[1]
     ry = jnp.clip(wy - rows_e - ky.astype(f32), -float(m), float(m))
 
     cp.wait()
@@ -175,7 +206,7 @@ def _warp_kernel(t_ref, img_ref, out_ref, scratch, shifted, sem, *,
               .astype(f32) + y0f)
     cols_o = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
               .astype(f32) + x0f)
-    wx = (1.0 + a) * cols_o - b * rows_o + tx
+    wx = positions(rows_o, cols_o)[0]
     rx = jnp.clip(wx - cols_o - kx.astype(f32), -float(m), float(m))
 
     # Unaligned static LANE slices crash the Mosaic compiler; rotate the
@@ -201,18 +232,22 @@ def _warp_kernel(t_ref, img_ref, out_ref, scratch, shifted, sem, *,
 
 
 def warp_frames_pallas(frames, ts, interp: str = "bilinear",
-                       local_bound: int = 3, interpret: bool | None = None):
+                       local_bound: int = 3, interpret: bool | None = None,
+                       model: str = "similarity"):
     """Batched dst(p) = interp(img, W(p)) with zero border (Pallas TPU).
 
     Args:
       frames: (..., H, W, C) u8 — arbitrary leading batch axes (streams,
         time); they are flattened into the kernel grid.
-      ts: (..., 4) matching origin-based *sampling* transforms.
+      ts: (..., 4) origin-based *sampling* similarity transforms, or
+        (..., 8) normalized homographies when model="homography" (the
+        homography.warp_points parameterization).
       interp: "bilinear" (cv INTER_LINEAR parity) or "lanczos2".
       local_bound: static residual bound m AFTER tile-local base removal;
         3 covers |A,B| <= (m-1)/tile_radius ~= 0.008 at any resolution.
       interpret: force Pallas interpreter mode (None = auto: interpret
         everywhere except real TPU backends, so CPU tests run this kernel).
+      model: "similarity" or "homography".
 
     Returns:
       (..., H, W, C) u8 warped frames.
@@ -224,8 +259,9 @@ def warp_frames_pallas(frames, ts, interp: str = "bilinear",
     bsz = 1
     for d in batch_shape:
         bsz *= d
+    nparams = 4 if model == "similarity" else 8
     flat = frames.reshape((bsz, h, w, c))
-    ts_flat = ts.reshape((bsz, 4)).astype(jnp.float32)
+    ts_flat = ts.reshape((bsz, nparams)).astype(jnp.float32)
 
     m = local_bound
     xt = m + 2
@@ -245,7 +281,8 @@ def warp_frames_pallas(frames, ts, interp: str = "bilinear",
 
     kernel = functools.partial(
         _warp_kernel, m=m, interp=interp, c=c,
-        pad_lo=pad_lo, tile_h=TILE_H, tile_w=TILE_W)
+        pad_lo=pad_lo, tile_h=TILE_H, tile_w=TILE_W,
+        model=model, img_w=float(w), img_h=float(h))
 
     out = pl.pallas_call(
         kernel,
