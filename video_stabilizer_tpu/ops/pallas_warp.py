@@ -100,7 +100,11 @@ def _warp_kernel(t_ref, img_ref, out_ref, scratch, shifted, sem, *,
       can't be block-subdivided; this program reads row pid(0).
     img_ref: (B, C, Hp, Wp) zero-padded planar u8 source in HBM/ANY.
     out_ref: (1, C, tile_h, tile_w) u8 VMEM block.
-    scratch: (C, tile_h + BH_PAD, tile_w + BW_PAD) u8 VMEM.
+    scratch: (2, C, tile_h + BH_PAD, tile_w + BW_PAD) u8 VMEM — two DMA
+      slots: program p consumes slot p%2 (started by program p-1) and
+      prefetches p+1's block into the other slot, hiding the per-tile DMA
+      latency behind the previous tile's compute (grid programs execute in
+      row-major order on TPU).
     shifted: (C, tile_h + BH_PAD, tile_w + 2*(m+2)) bf16 VMEM — the
       column-remainder-shifted block (values still exact u8 integers).
     """
@@ -109,43 +113,70 @@ def _warp_kernel(t_ref, img_ref, out_ref, scratch, shifted, sem, *,
     bi = pl.program_id(0)
     ti = pl.program_id(1)
     tj = pl.program_id(2)
+    n_i = pl.num_programs(1)
+    n_j = pl.num_programs(2)
     nparams = 4 if model == "similarity" else 8
-    t_row = [t_ref[bi, k] for k in range(nparams)]
+    blk_h = tile_h + BH_PAD
+    blk_w = tile_w + BW_PAD
 
-    def positions(rows, cols):
-        if model == "similarity":
-            return _positions_similarity(t_row, rows, cols)
-        return _positions_homography(t_row, rows, cols, img_w, img_h)
+    def tile_base(b, i, j):
+        """Aligned DMA base + remainders for grid cell (b, i, j)."""
+        t_row = [t_ref[b, k] for k in range(nparams)]
 
+        def positions(rows, cols):
+            if model == "similarity":
+                return _positions_similarity(t_row, rows, cols)
+            return _positions_homography(t_row, rows, cols, img_w, img_h)
+
+        y0 = i * tile_h
+        x0 = j * tile_w
+        xc = x0.astype(f32) + tile_w * 0.5
+        yc = y0.astype(f32) + tile_h * 0.5
+        wxc, wyc = positions(yc, xc)
+        kx = jnp.clip(jnp.round(wxc - xc),
+                      -MAX_SHIFT, MAX_SHIFT).astype(jnp.int32)
+        ky = jnp.clip(jnp.round(wyc - yc),
+                      -MAX_SHIFT, MAX_SHIFT).astype(jnp.int32)
+        raw_y = y0 + ky + pad_lo - xt
+        raw_x = x0 + kx + pad_lo - xt
+        base_y = pl.multiple_of((raw_y // 8) * 8, 8)
+        base_x = pl.multiple_of((raw_x // 128) * 128, 128)
+        return positions, kx, ky, raw_y - base_y, raw_x - base_x, \
+            base_y, base_x
+
+    def start_dma(b, i, j, slot):
+        _, _, _, _, _, by, bx = tile_base(b, i, j)
+        pltpu.make_async_copy(
+            img_ref.at[b, :, pl.ds(by, blk_h), pl.ds(bx, blk_w)],
+            scratch.at[slot], sem.at[slot]).start()
+
+    lin = (bi * n_i + ti) * n_j + tj
+    slot = jax.lax.rem(lin, 2)
+    is_first = lin == 0
+    total = pl.num_programs(0) * n_i * n_j
+
+    @pl.when(is_first)
+    def _():
+        start_dma(bi, ti, tj, slot)
+
+    # Prefetch the NEXT program's block into the other slot.
+    nxt = lin + 1
+
+    @pl.when(nxt < total)
+    def _():
+        j2 = jax.lax.rem(nxt, n_j)
+        i2 = jax.lax.rem(nxt // n_j, n_i)
+        b2 = nxt // (n_i * n_j)
+        start_dma(b2, i2, j2, 1 - slot)
+
+    positions, kx, ky, qy, qx, base_y, base_x = tile_base(bi, ti, tj)
     y0 = ti * tile_h
     x0 = tj * tile_w
     y0f = y0.astype(f32)
     x0f = x0.astype(f32)
-
-    # Tile-local integer base: the warp displacement at the tile center,
-    # rounded, clamped to the static pad budget.
-    xc = x0f + tile_w * 0.5
-    yc = y0f + tile_h * 0.5
-    wxc, wyc = positions(yc, xc)
-    kx = jnp.clip(jnp.round(wxc - xc),
-                  -MAX_SHIFT, MAX_SHIFT).astype(jnp.int32)
-    ky = jnp.clip(jnp.round(wyc - yc),
-                  -MAX_SHIFT, MAX_SHIFT).astype(jnp.int32)
-
-    # Tiling-aligned DMA base (padded coords); remainders qy/qx absorbed
-    # in VMEM below.
-    raw_y = y0 + ky + pad_lo - xt
-    raw_x = x0 + kx + pad_lo - xt
-    base_y = pl.multiple_of((raw_y // 8) * 8, 8)
-    base_x = pl.multiple_of((raw_x // 128) * 128, 128)
-    qy = raw_y - base_y
-    qx = raw_x - base_x
-    blk_h = tile_h + BH_PAD
-    blk_w = tile_w + BW_PAD
-    cp = pltpu.make_async_copy(
+    cp_wait = pltpu.make_async_copy(
         img_ref.at[bi, :, pl.ds(base_y, blk_h), pl.ds(base_x, blk_w)],
-        scratch, sem)
-    cp.start()
+        scratch.at[slot], sem.at[slot])
 
     weight = _hat if interp == "bilinear" else lanczos2
     lo = -m if interp == "bilinear" else -m - 1
@@ -166,7 +197,7 @@ def _warp_kernel(t_ref, img_ref, out_ref, scratch, shifted, sem, *,
     wy = positions(rows_e, cols_e)[1]
     ry = jnp.clip(wy - rows_e - ky.astype(f32), -float(m), float(m))
 
-    cp.wait()
+    cp_wait.wait()
 
     # Column-remainder shift as a one-hot band matmul (MXU), ONCE for the
     # whole block: S[j, u] = 1 iff scratch column j holds true column
@@ -177,7 +208,7 @@ def _warp_kernel(t_ref, img_ref, out_ref, scratch, shifted, sem, *,
     sh_mat = (j_iota == u_iota + qx).astype(jnp.bfloat16)
     # 2-D operands only (3-D dot_general crashes the Mosaic compiler);
     # merging (c, blk_h) into sublanes keeps the minor dim untouched.
-    blk_bf16 = (scratch[...].astype(jnp.int32).astype(jnp.bfloat16)
+    blk_bf16 = (scratch[slot].astype(jnp.int32).astype(jnp.bfloat16)
                 .reshape(c * blk_h, blk_w))
     shifted[...] = jax.lax.dot_general(
         blk_bf16, sh_mat,
@@ -296,9 +327,9 @@ def warp_frames_pallas(frames, ts, interp: str = "bilinear",
                                lambda b, i, j: (b, 0, i, j),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((c, TILE_H + BH_PAD, TILE_W + BW_PAD), jnp.uint8),
+            pltpu.VMEM((2, c, TILE_H + BH_PAD, TILE_W + BW_PAD), jnp.uint8),
             pltpu.VMEM((c, TILE_H + BH_PAD, TILE_W + 2 * xt), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
