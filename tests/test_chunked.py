@@ -75,6 +75,23 @@ def test_chunked_stabilizer_class_streams_indefinitely():
     assert np.mean(diff <= 1) > 0.999, np.mean(diff)
 
 
+def test_chunked_homography_matches_clip_mode():
+    """The 8-DOF family gets the same unbounded-stream serving mode."""
+    from video_stabilizer_tpu.models.homography_aligner import (
+        stabilize_clip_homography)
+
+    frames = clip(seed=57, n=16)
+    params = StabilizerParams(lag=4, smoother_memory=2, crop_pixels=8)
+    out_u, meas_u, ok_u = stabilize_clip_homography(frames, params)
+    out_c, meas_c, ok_c = stabilize_stream_chunked(frames, params,
+                                                   chunk_size=8,
+                                                   model="homography")
+    np.testing.assert_array_equal(np.asarray(ok_u), ok_c)
+    np.testing.assert_allclose(np.asarray(meas_u), meas_c, atol=1e-6)
+    diff = np.abs(np.asarray(out_u, np.int32) - out_c.astype(np.int32))
+    assert np.mean(diff <= 1) > 0.999, (np.mean(diff), diff.max())
+
+
 def test_init_stream_state_shapes():
     st = init_stream_state(W, H, PARAMS)
     assert st.meas_tail.shape == (PARAMS.lag + PARAMS.smoother_memory, 4)

@@ -51,6 +51,28 @@ from video_stabilizer_tpu.models.batch import (
 from video_stabilizer_tpu.models.smoother import tvl1_smooth
 
 
+def _model_ops(model: str):
+    """The family-specific pieces of the chunked pipeline: both motion
+    models share the exact event-order/state machinery, differing only in
+    parameter count, group algebra, pair-scan, and output warp."""
+    if model == "similarity":
+        return dict(nparams=4, compose=T.compose, inverse=T.inverse,
+                    mcd=T.max_corner_displacement,
+                    init_carry=init_pair_carry,
+                    align_scan=_align_pairs_scan,
+                    warp=warp_delayed)
+    if model == "homography":
+        from video_stabilizer_tpu import homography as Hm
+        from video_stabilizer_tpu.models.homography_aligner import (
+            _align_pairs_scan_h, init_pair_carry_h, warp_delayed_homography)
+        return dict(nparams=8, compose=Hm.compose, inverse=Hm.inverse,
+                    mcd=Hm.max_corner_displacement,
+                    init_carry=init_pair_carry_h,
+                    align_scan=_align_pairs_scan_h,
+                    warp=warp_delayed_homography)
+    raise ValueError(f"unknown motion model {model!r}")
+
+
 class StreamState(NamedTuple):
     """Fixed-size carried state of one stabilization stream."""
     pair: _PairCarry        # aligner keyframe carry
@@ -62,18 +84,20 @@ class StreamState(NamedTuple):
 
 
 def init_stream_state(width: int, height: int, params: StabilizerParams,
-                      channels: int = 3) -> StreamState:
+                      channels: int = 3,
+                      model: str = "similarity") -> StreamState:
     """The pre-stream state (zero history)."""
+    ops = _model_ops(model)
     specs = level_specs(width, height, params.aligner)
     dtype = jnp.dtype(params.aligner.dtype)
     tail = params.lag + params.smoother_memory
     shape = ((params.lag, height, width, channels) if channels
              else (params.lag, height, width))
     return StreamState(
-        pair=init_pair_carry(specs, params.aligner),
+        pair=ops["init_carry"](specs, params.aligner),
         pairs_seen=jnp.zeros((), jnp.int32),
-        meas_tail=jnp.zeros((tail, 4), dtype),
-        accum=jnp.zeros((4,), dtype),
+        meas_tail=jnp.zeros((tail, ops["nparams"]), dtype),
+        accum=jnp.zeros((ops["nparams"],), dtype),
         frame_tail=jnp.zeros(shape, jnp.uint8),
         steps_seen=jnp.zeros((), jnp.int32),
     )
@@ -112,13 +136,15 @@ def _chunk_smoothed(full_meas, steps_seen, tc, params: StabilizerParams):
 
 
 def stabilize_chunk_core(state: StreamState, frames_bgr,
-                         params: StabilizerParams, width: int, height: int):
+                         params: StabilizerParams, width: int, height: int,
+                         model: str = "similarity"):
     """One chunk, everything up to (but excluding) the output warp.
 
-    Returns (new_state, delayed (Tc, H, W, C), accums (Tc, 4), meas,
+    Returns (new_state, delayed (Tc, H, W, C), accums (Tc, P), meas,
     success, out_valid). Warp-free so the stream pipeline can vmap this
     part and run the Pallas warp once over the whole (S, Tc) batch.
     """
+    ops = _model_ops(model)
     tc = frames_bgr.shape[0]
     if tc % 2:
         raise ValueError(f"chunk length {tc} must be even (the aligner "
@@ -129,14 +155,14 @@ def stabilize_chunk_core(state: StreamState, frames_bgr,
     specs = level_specs(width, height, params.aligner)
 
     gray = _bgr_to_gray_batched(frames_bgr)
-    pair_carry, meas_c, succ_c = _align_pairs_scan(
+    pair_carry, meas_c, succ_c = ops["align_scan"](
         gray, specs, params.aligner, None, state.pair, state.pairs_seen)
 
     full_meas = jnp.concatenate([state.meas_tail, meas_c], axis=0)
     if params.enable_smoother:
         smoothed_j = _chunk_smoothed(full_meas, state.steps_seen, tc, params)
     else:
-        smoothed_j = jnp.zeros((tc, 4), meas_c.dtype)
+        smoothed_j = jnp.zeros((tc, ops["nparams"]), meas_c.dtype)
 
     # The accumulator scan (stabilizer.cpp:32-88), same event order as
     # batch.accumulate_corrections: reset on the CURRENT step's alignment
@@ -152,15 +178,15 @@ def stabilize_chunk_core(state: StreamState, frames_bgr,
 
     def step(accum, inputs):
         succ_j, meas, sm, valid = inputs
-        accum = jnp.where(succ_j, accum, jnp.zeros(4, dtype))
+        accum = jnp.where(succ_j, accum, jnp.zeros(ops["nparams"], dtype))
 
         def fold(a):
             if params.enable_smoother:
-                jitter = T.compose(meas, T.inverse(sm))
+                jitter = ops["compose"](meas, ops["inverse"](sm))
             else:
                 jitter = meas
-            new = T.compose(a, jitter)
-            disp = T.max_corner_displacement(new, width, height)
+            new = ops["compose"](a, jitter)
+            disp = ops["mcd"](new, width, height)
             f = jnp.clip((disp - min_disp) / (max_disp - min_disp), 0.0, 1.0)
             decay = jnp.where(
                 disp > max_disp, max_decay,
@@ -191,45 +217,58 @@ def stabilize_chunk_core(state: StreamState, frames_bgr,
 
 
 def stabilize_chunk_impl(state: StreamState, frames_bgr,
-                         params: StabilizerParams, width: int, height: int):
+                         params: StabilizerParams, width: int, height: int,
+                         model: str = "similarity"):
     """Stabilize one even-length chunk, carrying state across calls.
 
-    Returns (new_state, out (Tc, H-2c, W-2c, C) u8, meas (Tc, 4),
+    Returns (new_state, out (Tc, H-2c, W-2c, C) u8, meas (Tc, P),
     success (Tc,), out_valid (Tc,)): ``out_valid[j]`` is False for the
     first ``lag`` outputs of a fresh stream (no frame to warp yet —
     the streaming path returns None there, stabilizer.cpp:44-46).
     """
+    ops = _model_ops(model)
     new_state, delayed, accums, meas_c, succ_c, m_valid = (
-        stabilize_chunk_core(state, frames_bgr, params, width, height))
-    stabilized = warp_delayed(delayed, accums, params, width, height)
+        stabilize_chunk_core(state, frames_bgr, params, width, height,
+                             model))
+    stabilized = ops["warp"](delayed, accums, params, width, height)
     return new_state, stabilized, meas_c, succ_c, m_valid
 
 
-@functools.partial(jax.jit, static_argnames=("params", "width", "height"),
+@functools.partial(jax.jit,
+                   static_argnames=("params", "width", "height", "model"),
                    donate_argnums=(0,))
-def _stabilize_chunk_jit(state, frames, params, width, height):
-    return stabilize_chunk_impl(state, frames, params, width, height)
+def _stabilize_chunk_jit(state, frames, params, width, height,
+                         model="similarity"):
+    return stabilize_chunk_impl(state, frames, params, width, height, model)
 
 
-@functools.partial(jax.jit, static_argnames=("params", "width", "height"),
+@functools.partial(jax.jit,
+                   static_argnames=("params", "width", "height", "model"),
                    donate_argnums=(0,))
-def _stabilize_chunk_streams_jit(states, frames, params, width, height):
+def _stabilize_chunk_streams_jit(states, frames, params, width, height,
+                                 model="similarity"):
     # Core under vmap; the warp hoisted out so the Pallas kernel sees the
     # whole (S, Tc) batch in one call (its grid IS the batch axis).
+    ops = _model_ops(model)
     new_states, delayed, accums, meas, succ, valid = jax.vmap(
-        lambda st, f: stabilize_chunk_core(st, f, params, width, height)
+        lambda st, f: stabilize_chunk_core(st, f, params, width, height,
+                                           model)
     )(states, frames)
-    out = warp_delayed(delayed, accums, params, width, height)
+    out = ops["warp"](delayed, accums, params, width, height)
     return new_states, out, meas, succ, valid
 
 
 class ChunkedStabilizer:
     """Stateful host wrapper: feed even-length chunks of (T, H, W, 3) u8
     frames; each call returns the stabilized outputs that became valid
-    (one per input frame once the initial ``lag`` delay is filled)."""
+    (one per input frame once the initial ``lag`` delay is filled).
+    ``model`` selects the 4-DOF similarity (reference parity) or the
+    8-DOF homography family."""
 
-    def __init__(self, params: StabilizerParams = StabilizerParams()):
+    def __init__(self, params: StabilizerParams = StabilizerParams(),
+                 model: str = "similarity"):
         self.params = params
+        self.model = model
         self._state = None
         self._shape = None
 
@@ -238,21 +277,23 @@ class ChunkedStabilizer:
         h, w = frames_bgr.shape[1], frames_bgr.shape[2]
         ch = frames_bgr.shape[3] if frames_bgr.ndim == 4 else 0
         if self._state is None or self._shape != (h, w, ch):
-            self._state = init_stream_state(w, h, self.params, ch)
+            self._state = init_stream_state(w, h, self.params, ch,
+                                            self.model)
             self._shape = (h, w, ch)
         self._state, out, meas, succ, valid = _stabilize_chunk_jit(
-            self._state, frames_bgr, self.params, w, h)
+            self._state, frames_bgr, self.params, w, h, self.model)
         valid = jax.device_get(valid)
         return out[jnp.asarray(valid.nonzero()[0])], meas, succ
 
 
 def stabilize_stream_chunked(frames_bgr, params: StabilizerParams,
-                             chunk_size: int):
+                             chunk_size: int, model: str = "similarity"):
     """Stabilize an arbitrarily long (T, H, W, C) u8 stream in
     ``chunk_size``-frame device chunks (T and chunk_size even,
-    chunk_size >= 2). Returns (stabilized (T - lag, ...), meas (T, 4),
-    success (T,)) — identical to ``stabilize_clip_impl`` on the same
-    frames (see tests/test_chunked.py).
+    chunk_size >= 2). Returns (stabilized (T - lag, ...), meas (T, P),
+    success (T,)) — identical to ``stabilize_clip_impl`` /
+    ``stabilize_clip_homography_impl`` on the same frames
+    (see tests/test_chunked.py).
     """
     import numpy as np
 
@@ -263,12 +304,12 @@ def stabilize_stream_chunked(frames_bgr, params: StabilizerParams,
                          f"chunk_size {chunk_size}")
     h, w = frames_bgr.shape[1], frames_bgr.shape[2]
     ch = frames_bgr.shape[3] if frames_bgr.ndim == 4 else 0
-    state = init_stream_state(w, h, params, ch)
+    state = init_stream_state(w, h, params, ch, model)
     outs, meas_all, succ_all = [], [], []
     for start in range(0, t_total, chunk_size):
         chunk = frames_bgr[start:start + chunk_size]
         state, out, meas, succ, valid = _stabilize_chunk_jit(
-            state, chunk, params, w, h)
+            state, chunk, params, w, h, model)
         valid = np.asarray(valid)
         outs.append(np.asarray(out)[valid])
         meas_all.append(np.asarray(meas))

@@ -232,24 +232,38 @@ def _pair_step_h(carry, xs, specs, params, dyn):
             (jnp.stack([p_a, p_b]), jnp.stack([ok_a, ok_b])))
 
 
+def init_pair_carry_h(specs, params) -> _CarryH:
+    """The zero pre-stream homography aligner carry."""
+    zero_pyr = tuple(
+        jnp.zeros((s.height, s.width), jnp.uint8) for s in specs)
+    return _CarryH(key_pyr=zero_pyr,
+                   key=_compute_keyframe_h(zero_pyr, specs, params))
+
+
+def _align_pairs_scan_h(frames, specs, params, dyn, carry0: _CarryH,
+                        pair_base):
+    """Homography twin of batch._align_pairs_scan: scan keyframe pairs from
+    an arbitrary carried state (pair_base gates warm-up masking)."""
+    t_pad = frames.shape[0]
+    assert t_pad % 2 == 0
+    idx = pair_base + jnp.arange(t_pad // 2, dtype=jnp.int32)
+    step = functools.partial(_pair_step_h, specs=specs, params=params,
+                             dyn=dyn)
+    carry, (p_pairs, ok_pairs) = jax.lax.scan(
+        step, carry0, (frames[0::2], frames[1::2], idx))
+    return carry, p_pairs.reshape(t_pad, 8), ok_pairs.reshape(t_pad)
+
+
 def align_clip_homography_impl(frames, params, width, height, dyn=None):
     """(T, H, W) u8 -> ((T, 8) homographies, (T,) success)."""
     specs = level_specs(width, height, params)
     t_in = frames.shape[0]
     if t_in % 2:
         frames = jnp.concatenate([frames, frames[-1:]], axis=0)
-    t_pad = frames.shape[0]
-    idx = jnp.arange(t_pad // 2, dtype=jnp.int32)
-    carry0 = _CarryH(
-        key_pyr=tuple(jnp.zeros((s.height, s.width), jnp.uint8) for s in specs),
-        key=_compute_keyframe_h(
-            tuple(jnp.zeros((s.height, s.width), jnp.uint8) for s in specs),
-            specs, params))
-    step = functools.partial(_pair_step_h, specs=specs, params=params,
-                             dyn=dyn)
-    _, (p_pairs, ok_pairs) = jax.lax.scan(
-        step, carry0, (frames[0::2], frames[1::2], idx))
-    return p_pairs.reshape(t_pad, 8)[:t_in], ok_pairs.reshape(t_pad)[:t_in]
+    carry0 = init_pair_carry_h(specs, params)
+    _, p_seq, ok_seq = _align_pairs_scan_h(
+        frames, specs, params, dyn, carry0, jnp.zeros((), jnp.int32))
+    return p_seq[:t_in], ok_seq[:t_in]
 
 
 @functools.partial(jax.jit, static_argnames=("params", "width", "height"))
