@@ -34,6 +34,10 @@ def main():
     ap.add_argument("--size", default="360x640")
     ap.add_argument("--with-phase", action="store_true",
                     help="also sweep phase_correlate=True (2nd compile)")
+    ap.add_argument("--device-metric", action="store_true",
+                    help="score with the on-device dense-LK jitter metric "
+                         "(utils/flow.py) instead of host cv2 Farneback — "
+                         "no host round trips per combo")
     args = ap.parse_args()
 
     import jax
@@ -48,6 +52,9 @@ def main():
     from video_stabilizer_tpu import transforms as T
     from video_stabilizer_tpu.utils.io import read_video, synth_shaky_clip
     from video_stabilizer_tpu.utils.jitter import median_jitter_px
+    if args.device_metric:
+        from video_stabilizer_tpu.utils.flow import median_jitter_px_device
+        median_jitter_px = median_jitter_px_device  # noqa: F811
 
     if args.video:
         frames = np.stack(list(read_video(args.video, args.frames)))
@@ -125,7 +132,8 @@ def main():
         print(f"phase_correlate={phase}: {len(combos)} combos in "
               f"{time.time()-t0:.1f}s")
         for ci, (thr, frac, md) in enumerate(combos):
-            out_j = median_jitter_px(list(outs[ci]))
+            out_j = median_jitter_px(outs[ci] if args.device_metric
+                                     else list(outs[ci]))
             ratio = out_j / max(in_jitter, 1e-9)
             fail = int(np.sum(~np.asarray(ok[ci]))) - 1
             results[(phase, thr, frac, md)] = (ratio, fail)
