@@ -9,10 +9,23 @@ kept, the whole kernel collapses to
 
     out[y, x] = sum_{i,j} c_i c_j padded[2y + i, 2x + j]
 
-i.e. a 5x5 separable stride-2 stencil. We express it as two strided-slice
-weighted sums, which XLA fuses into a single VPU pass — no gathers, no convs
-with 1-channel MXU waste. Batched over arbitrary leading axes so whole frame
-stacks / multi-stream batches downsample in one fused kernel.
+i.e. a 5x5 separable stride-2 stencil. Expressing BOTH passes as stride-2
+slices is hostile on TPU: stride-2 access on the LANE axis forces
+register-tile shuffles that ran ~10x off bandwidth (profiled: the pyramid
+was the single largest align component at 1080p). So the lane-axis pass is
+a BANDED DECIMATION MATMUL on the MXU,
+
+    tmp = padded . D,   D[2k + j, k] = c_j  (j in 0..4),
+
+with bf16 operands and f32 accumulation, and only the benign SUBLANE axis
+uses stride-2 slices (f32 VPU adds). Every quantity is exact: the taps
+k/16 are dyadic (exact bf16), u8 pixels are exact bf16, each MXU product
+has <= 16 mantissa bits (exact f32), the row pass is pure f32 arithmetic
+on dyadic values < 2^16 — so the result equals the reference's float blur
+bit-for-bit and the truncating u8 cast matches Halide's
+(generators.cpp:91). The decimation matrix is built from iotas in-graph
+and hoisted as a loop invariant of the frame scans. Batched over arbitrary
+leading axes.
 """
 
 from __future__ import annotations
@@ -21,16 +34,24 @@ import jax.numpy as jnp
 
 # [1, 4, 6, 4, 1] / 16 (generators.cpp:68)
 _COEFFS = (1.0 / 16, 4.0 / 16, 6.0 / 16, 4.0 / 16, 1.0 / 16)
-_COEFFS_INT = (1, 4, 6, 4, 1)
+
+
+def _decim_matrix(n_padded: int, n_out: int, dtype):
+    """(n_padded, n_out) banded matrix D[2k + j, k] = c_j (j in 0..4)."""
+    rows = jnp.arange(n_padded, dtype=jnp.int32)[:, None]
+    cols = jnp.arange(n_out, dtype=jnp.int32)[None, :]
+    d = rows - 2 * cols
+    m = jnp.zeros((n_padded, n_out), jnp.float32)
+    for j, c in enumerate(_COEFFS):
+        m = m + jnp.where(d == j, jnp.float32(c), 0.0)
+    return m.astype(dtype)
 
 
 def pyr_down(img, out_dtype=jnp.uint8):
     """Downsample by 2x with a 5-tap Gaussian, repeat-edge boundary.
 
-    For u8 inputs this runs in exact int32 fixed point: the reference's f32
-    path is exact dyadic arithmetic (products of k/16 values, sums < 2^24),
-    so floor(sum / 256) is BIT-IDENTICAL to the Halide kernel's truncating
-    cast (generators.cpp:91) while skipping the f32 round trip.
+    Bit-identical to the reference kernel's truncating u8 cast (see module
+    docstring for the exactness argument).
 
     Args:
       img: (..., H, W) uint8 (or float) image(s).
@@ -41,22 +62,18 @@ def pyr_down(img, out_dtype=jnp.uint8):
     h2, w2 = h // 2, w // 2
     pad = [(0, 0)] * (img.ndim - 2) + [(2, 2), (2, 2)]
 
-    if img.dtype == jnp.uint8 and jnp.issubdtype(jnp.dtype(out_dtype),
-                                                 jnp.integer):
-        x = jnp.pad(img, pad, mode="edge").astype(jnp.int32)
-        rowblur = sum(
-            c * x[..., i : i + 2 * h2 : 2, :]
-            for i, c in enumerate(_COEFFS_INT))
-        out = sum(
-            c * rowblur[..., :, j : j + 2 * w2 : 2]
-            for j, c in enumerate(_COEFFS_INT))
-        return (out // 256).astype(out_dtype)
-
-    x = jnp.pad(img.astype(jnp.float32), pad, mode="edge")
-    rowblur = sum(
-        c * x[..., i : i + 2 * h2 : 2, :] for i, c in enumerate(_COEFFS))
-    out = sum(
-        c * rowblur[..., :, j : j + 2 * w2 : 2] for j, c in enumerate(_COEFFS))
+    exact_u8 = img.dtype == jnp.uint8
+    op_dtype = jnp.bfloat16 if exact_u8 else jnp.float32
+    x = jnp.pad(img, pad, mode="edge").astype(op_dtype)
+    # Lane (x) pass on the MXU: contract the padded-column axis.
+    dx = _decim_matrix(w + 4, w2, op_dtype)
+    tmp = jnp.einsum("...yj,jx->...yx", x, dx,
+                     preferred_element_type=jnp.float32)
+    # Sublane (y) pass: stride-2 row slices, exact f32 adds.
+    out = sum(c * tmp[..., i : i + 2 * h2 : 2, :]
+              for i, c in enumerate(_COEFFS))
+    # For u8: truncating cast, matching Halide's u8(blur) (values are
+    # exact dyadic rationals in [0, 255.94]).
     return out.astype(out_dtype)
 
 
