@@ -77,10 +77,41 @@ def extract_tile_windows_flat(img, tile: int, margin: int,
     grid lives on the minor (lane) axis, so the GN inner loop's weight
     arrays and reductions tile the VPU's (8, 128) registers densely instead
     of wasting ~16x on a (sets, taps) minor layout (measured via the op
-    profile — this is the hot loop's data layout). One transpose total."""
-    wins = _window_stack(img, tile, margin, out_dtype)
-    ht, p, wt, _ = wins.shape
-    return wins.transpose(1, 3, 0, 2).reshape(p, p, ht * wt)
+    profile — this is the hot loop's data layout).
+
+    Construction: the lane-axis window gather (overlapping stride-``tile``
+    column selections) is a ONE-HOT banded matmul on the MXU — the
+    stack/reshape/transpose chain it replaces was the pipeline's largest
+    data-movement cluster (~24% of the chunk program, profiled) because its
+    final transpose moved the minor axis. Here every transpose keeps the
+    minor axis in place. u8 pixels are exact in bf16 and the one-hot
+    contraction copies them exactly, so the result is bit-identical to the
+    slicing construction (pinned by the sampling oracle tests).
+    """
+    h, w = img.shape[-2], img.shape[-1]
+    t = tile
+    ht, wt = h // t, w // t
+    p = window_size(t, margin)
+    k = -(-p // t)
+    padded = jnp.pad(img, ((margin, margin + t), (margin, margin + t)),
+                     mode="edge")
+    hp, wp = padded.shape
+    # Sublane side: X[c + s*t, i, :] = padded[(i + s)*t + c, :].
+    rows = jnp.concatenate(
+        [padded[s * t : s * t + ht * t, :].reshape(ht, t, wp)
+         for s in range(k)], axis=1)                  # (ht, k*t, Wp)
+    x_mat = rows.transpose(1, 0, 2)[:p]               # (P, ht, Wp)
+    # Lane side: S[x, q*wt + j] = 1 iff x == j*t + q (window col q of
+    # tile j lives at padded col j*t + q).
+    xs = jnp.arange(wp, dtype=jnp.int32)[:, None]
+    m = jnp.arange(p * wt, dtype=jnp.int32)[None, :]
+    q = m // wt
+    j = m % wt
+    s_mat = (xs == j * t + q).astype(jnp.bfloat16)
+    wins = jnp.einsum("aix,xm->aim", x_mat.astype(jnp.bfloat16), s_mat,
+                      preferred_element_type=jnp.float32)
+    wins = wins.reshape(p, ht, p, wt).transpose(0, 2, 1, 3)
+    return wins.reshape(p, p, ht * wt).astype(out_dtype)
 
 
 def window_origins_flat(ht: int, wt: int, tile: int, margin: int):
