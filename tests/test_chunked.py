@@ -92,6 +92,34 @@ def test_chunked_homography_matches_clip_mode():
     assert np.mean(diff <= 1) > 0.999, (np.mean(diff), diff.max())
 
 
+def test_long_stream_soak():
+    """Unbounded-stream soak: 40 chunks (320 frames) through one
+    ChunkedStabilizer — state stays fixed-size, every post-lag input frame
+    yields exactly one output, alignment keeps succeeding, and the
+    stabilized stream's jitter stays reduced in the FINAL quarter (no
+    drift/degradation as state ages)."""
+    from video_stabilizer_tpu.utils.jitter import median_jitter_px
+
+    n = 320
+    frames = synth_shaky_clip(n, 72, 96, seed=59, jitter_px=0.6,
+                              pan_px_per_frame=0.1)
+    params = StabilizerParams(lag=4, smoother_memory=2, crop_pixels=6)
+    stab = ChunkedStabilizer(params)
+    outs, oks = [], []
+    for start in range(0, n, 8):
+        out, meas, ok = stab.process_chunk(frames[start:start + 8])
+        outs.append(np.asarray(out))
+        oks.append(np.asarray(ok))
+    outs = np.concatenate(outs, axis=0)
+    oks = np.concatenate(oks)
+    assert outs.shape[0] == n - params.lag
+    assert oks[2:].all()
+    assert int(stab._state.steps_seen) == n
+    tail_in = list(frames[-80:])
+    tail_out = list(outs[-80:])
+    assert median_jitter_px(tail_out) < 0.6 * median_jitter_px(tail_in)
+
+
 def test_init_stream_state_shapes():
     st = init_stream_state(W, H, PARAMS)
     assert st.meas_tail.shape == (PARAMS.lag + PARAMS.smoother_memory, 4)

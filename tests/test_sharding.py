@@ -56,3 +56,32 @@ def test_indivisible_stream_count_raises(clips8):
     mesh = make_mesh()
     with pytest.raises(ValueError, match="not divisible"):
         stabilize_streams_sharded(clips8[:3], mesh)
+
+
+def test_multihost_recipe_single_process():
+    """The multi-host ingest recipe degenerates correctly to one process on
+    the virtual 8-device mesh: global batch assembly from 'local' streams,
+    sharded stabilization, outputs matching the device_put path."""
+    import jax
+    import numpy as np
+
+    from video_stabilizer_tpu.config import StabilizerParams
+    from video_stabilizer_tpu.parallel import (
+        local_stream_slice, make_global_stream_batch, multihost_mesh,
+        stabilize_streams_sharded)
+    from video_stabilizer_tpu.utils.io import synth_shaky_clip
+
+    mesh = multihost_mesh()
+    assert mesh.devices.size == 8
+    sl = local_stream_slice(8)
+    assert (sl.start, sl.stop) == (0, 8)   # single process feeds everything
+
+    clips = np.stack([
+        synth_shaky_clip(8, 48, 64, seed=80 + s, jitter_px=0.5)
+        for s in range(8)])
+    params = StabilizerParams(lag=2, smoother_memory=1, crop_pixels=4)
+    batch = make_global_stream_batch(clips[sl], mesh, 8)
+    assert batch.shape == clips.shape
+    out, meas, ok = stabilize_streams_sharded(batch, mesh, params)
+    out2, meas2, ok2 = stabilize_streams_sharded(clips, mesh, params)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))

@@ -7,5 +7,13 @@ from video_stabilizer_tpu.parallel.mesh import (
     shard_streams,
     stabilize_streams_sharded,
 )
+from video_stabilizer_tpu.parallel.multihost import (
+    initialize_multihost,
+    local_stream_slice,
+    make_global_stream_batch,
+    multihost_mesh,
+)
 
-__all__ = ["make_mesh", "shard_streams", "stabilize_streams_sharded"]
+__all__ = ["make_mesh", "shard_streams", "stabilize_streams_sharded",
+           "initialize_multihost", "local_stream_slice",
+           "make_global_stream_batch", "multihost_mesh"]
