@@ -5,12 +5,14 @@ output/processed_*.mp4 with crop disabled (video_test.cpp:54).
 
 Usage:
     python apps/video_test.py [--recordings DIR] [--out DIR]
-        [--mode streaming|batch] [--synthetic N]
+        [--mode streaming|batch|chunked] [--synthetic N]
 
 With --synthetic (or when the recordings dir is empty — the reference ships
 only a placeholder), N synthetic shaky clips are generated and stabilized.
 --mode batch uses the whole-clip device pipeline (models/batch.py);
-streaming mirrors the reference's frame-at-a-time loop.
+--mode chunked feeds the state-carrying serving mode (models/chunked.py,
+the unbounded-stream path); streaming mirrors the reference's
+frame-at-a-time loop.
 """
 
 import argparse
@@ -36,6 +38,22 @@ def stabilize_streaming(frames, params):
     return outs, stab.align_failures
 
 
+def stabilize_chunked(frames, params, chunk_size=16):
+    from video_stabilizer_tpu.models import ChunkedStabilizer
+
+    stab = ChunkedStabilizer(params)
+    outs, failures = [], 0
+    n = len(frames) - len(frames) % 2      # aligner consumes keyframe pairs
+    for start in range(0, n, chunk_size):
+        chunk = np.stack(frames[start:start + chunk_size])
+        if chunk.shape[0] % 2:
+            chunk = chunk[:-1]
+        out, meas, ok = stab.process_chunk(chunk)
+        outs.extend(np.asarray(out))
+        failures += int(np.sum(~np.asarray(ok)))
+    return outs, max(failures - 1, 0)      # first frame is warm-up
+
+
 def stabilize_batch(frames, params):
     import jax.numpy as jnp
     from video_stabilizer_tpu.models.batch import stabilize_clip
@@ -58,8 +76,9 @@ def process_video(path_or_clip, name, out_dir, mode, params):
         return
 
     t0 = time.time()
-    outs, failures = (stabilize_batch if mode == "batch"
-                      else stabilize_streaming)(frames, params)
+    fn = {"batch": stabilize_batch, "chunked": stabilize_chunked,
+          "streaming": stabilize_streaming}[mode]
+    outs, failures = fn(frames, params)
     dt = time.time() - t0
 
     out_path = os.path.join(out_dir, f"processed_{name}.mp4")
@@ -79,7 +98,8 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--recordings", default="recordings")
     ap.add_argument("--out", default="output")
-    ap.add_argument("--mode", choices=["streaming", "batch"], default="batch")
+    ap.add_argument("--mode", choices=["streaming", "batch", "chunked"],
+                    default="batch")
     ap.add_argument("--synthetic", type=int, default=0,
                     help="generate N synthetic shaky clips instead")
     ap.add_argument("--frames", type=int, default=90)
