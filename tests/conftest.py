@@ -7,22 +7,34 @@ imported anywhere.
 
 import os
 
-# Force-override: the environment may pre-set JAX_PLATFORMS to a TPU plugin
-# (e.g. "axon"); tests must run on the virtual CPU mesh regardless.
-os.environ["JAX_PLATFORMS"] = "cpu"
-xla_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# Opt-in on-hardware mode (VIDSTAB_TPU=1 pytest -m tpu): leave the real TPU
+# platform alone so the `tpu`-marked kernel regression tests exercise the
+# actual Mosaic compile path (the default suite forces CPU and runs Pallas
+# in interpreter mode, which can't catch Mosaic/layout regressions).
+TPU_MODE = os.environ.get("VIDSTAB_TPU") == "1"
+
+if not TPU_MODE:
+    # Force-override: the environment may pre-set JAX_PLATFORMS to a TPU
+    # plugin (e.g. "axon"); tests must run on the virtual CPU mesh
+    # regardless.
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    xla_flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in xla_flags:
+        os.environ["XLA_FLAGS"] = (
+            xla_flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not TPU_MODE:
+    jax.config.update("jax_platforms", "cpu")
 # Persistent compile cache: the pipeline programs take ~30-90s each to
-# build on this box; cache them across pytest runs.
+# build on this box; cache them across pytest runs. TPU mode shares the
+# bench cache (same chip, same programs).
 jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache_tests"))
+                  os.environ.get("JAX_CACHE_DIR",
+                                 "/tmp/jax_cache" if TPU_MODE
+                                 else "/tmp/jax_cache_tests"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import numpy as np

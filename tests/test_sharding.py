@@ -58,6 +58,46 @@ def test_indivisible_stream_count_raises(clips8):
         stabilize_streams_sharded(clips8[:3], mesh)
 
 
+def test_sharded_chunked_matches_unsharded(clips8):
+    """The flagship serving path over the mesh: sharded chunked == unsharded
+    chunked (which test_chunked.py pins == unchunked clip), with the carried
+    StreamState staying sharded across chunks."""
+    from video_stabilizer_tpu.models.chunked import stabilize_stream_chunked
+    from video_stabilizer_tpu.parallel import (
+        init_sharded_stream_states, stabilize_chunk_streams_sharded)
+
+    mesh = make_mesh()
+    params = StabilizerParams(lag=4, smoother_memory=2, crop_pixels=4)
+    s, t = clips8.shape[0], clips8.shape[1]
+    chunk = t // 2
+    states = init_sharded_stream_states(s, W, H, params, mesh)
+    outs, valids, meass, oks = [], [], [], []
+    for k in range(0, t, chunk):
+        states, out, meas, ok, valid = stabilize_chunk_streams_sharded(
+            states, clips8[:, k:k + chunk], mesh, params)
+        # State stays sharded across chunks — no implicit all-gather.
+        shard_shapes = {sh.data.shape
+                        for sh in states.accum.addressable_shards}
+        assert shard_shapes == {(1, 4)}
+        outs.append(np.asarray(out))
+        valids.append(np.asarray(valid))
+        meass.append(np.asarray(meas))
+        oks.append(np.asarray(ok))
+    out_sh = np.concatenate(outs, axis=1)
+    valid = np.concatenate(valids, axis=1)
+    meas_sh = np.concatenate(meass, axis=1)
+    ok_sh = np.concatenate(oks, axis=1)
+
+    for si in range(s):
+        out_un, meas_un, ok_un = stabilize_stream_chunked(
+            clips8[si], params, chunk_size=chunk)
+        np.testing.assert_array_equal(ok_sh[si], ok_un)
+        np.testing.assert_allclose(meas_sh[si], meas_un, atol=8e-2)
+        got = out_sh[si][valid[si]]
+        diff = np.abs(got.astype(np.int32) - out_un.astype(np.int32))
+        assert np.mean(diff <= 1) > 0.995, (si, np.mean(diff <= 1))
+
+
 def test_multihost_recipe_single_process():
     """The multi-host ingest recipe degenerates correctly to one process on
     the virtual 8-device mesh: global batch assembly from 'local' streams,

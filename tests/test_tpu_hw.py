@@ -1,0 +1,148 @@
+"""On-hardware kernel regression tests (VERDICT round-2 item 4).
+
+The default suite runs every Pallas kernel in interpreter mode on CPU, so
+the Mosaic alignment contract (docs/ROADMAP.md "Mosaic/Pallas lessons") is
+only re-verified when bench.py happens to run. These tests compile and run
+the hot kernels on the REAL chip against their oracles, so a Mosaic/layout
+regression fails tests, not benches.
+
+Opt-in (they need the tunneled TPU and a Mosaic compile):
+
+    VIDSTAB_TPU=1 python -m pytest tests/test_tpu_hw.py -m tpu -q
+
+Never run concurrently with another TPU process (see
+.claude/skills/verify/SKILL.md). Reference analog: align_test as the kernel
+smoke suite (align_test.cpp:43-247).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from conftest import TPU_MODE, natural_image
+
+pytestmark = [
+    pytest.mark.tpu,
+    pytest.mark.skipif(
+        not TPU_MODE or jax.default_backend() != "tpu",
+        reason="needs VIDSTAB_TPU=1 and a real TPU backend"),
+]
+
+H, W = 202, 307  # odd-ish sizes: exercise the tile-remainder paths
+
+
+def color_image(seed=7, h=H, w=W):
+    return np.stack([natural_image(h, w, seed=seed + k) for k in range(3)],
+                    axis=-1)
+
+
+@pytest.mark.parametrize("interp", ["bilinear", "lanczos2"])
+@pytest.mark.parametrize("model", ["similarity", "homography"])
+def test_pallas_warp_on_tpu(interp, model):
+    """warp_frames_pallas compiled by Mosaic vs the exact gather oracle."""
+    from video_stabilizer_tpu import homography as Hm
+    from video_stabilizer_tpu import transforms as T
+    from video_stabilizer_tpu.ops.pallas_warp import warp_frames_pallas
+    from video_stabilizer_tpu.ops.warp import warp_image_bgr
+
+    img = color_image(seed=29)
+    t_center = jnp.asarray([0.004, -0.006, 9.3, -5.7], jnp.float32)
+    t_ul = T.center_to_ul(t_center, W, H, minus_one=False)
+    if model == "similarity":
+        t = t_ul
+    else:
+        t = Hm.sim_to_homography(t_center, W, H)
+    got = np.asarray(warp_frames_pallas(
+        jnp.asarray(img)[None], t[None], interp=interp, model=model,
+        interpret=False)[0], np.int32)
+    exact = np.asarray(warp_image_bgr(jnp.asarray(img), t_ul, interp=interp,
+                                      border="zero"), np.int32)
+    diff = np.abs(got - exact)
+    assert np.mean(diff <= 2) > 0.999, (np.mean(diff <= 2), diff.max())
+
+
+def test_pallas_warp_batched_grid_on_tpu():
+    """The (frames, rows, cols) grid with >1 frame and integer translations
+    (bit-exact contract) on the real chip."""
+    from video_stabilizer_tpu.ops.pallas_warp import warp_frames_pallas
+    from video_stabilizer_tpu.ops.warp import warp_image_bgr
+
+    imgs = np.stack([color_image(seed=40 + k) for k in range(3)])
+    ts = jnp.asarray([[0.0, 0.0, 5.0, -9.0],
+                      [0.0, 0.0, -120.0, 77.0],
+                      [0.0, 0.0, 0.0, 0.0]], jnp.float32)
+    got = np.asarray(warp_frames_pallas(jnp.asarray(imgs), ts,
+                                        interpret=False), np.int32)
+    for k in range(3):
+        exact = np.asarray(warp_image_bgr(jnp.asarray(imgs[k]), ts[k],
+                                          border="zero"), np.int32)
+        np.testing.assert_array_equal(got[k], exact, err_msg=f"frame {k}")
+
+
+def test_extraction_matmul_on_tpu():
+    """The one-hot MXU keyframe window extraction is bit-identical to the
+    slicing construction on the real chip (the bf16 one-hot contraction
+    copies u8-exact values)."""
+    from video_stabilizer_tpu.ops.patches import (
+        extract_tile_windows, extract_tile_windows_flat)
+
+    img = jnp.asarray(natural_image(96, 128, seed=3))
+    tile, margin = 8, 12
+    flat = np.asarray(extract_tile_windows_flat(img, tile, margin))
+    ref = np.asarray(extract_tile_windows(img, tile, margin))  # (ht,wt,P,P)
+    ht, wt, p, _ = ref.shape
+    ref_flat = ref.transpose(2, 3, 0, 1).reshape(p, p, ht * wt)
+    np.testing.assert_array_equal(flat, ref_flat)
+
+
+def test_pyr_down_on_tpu():
+    """The banded-matmul pyr_down vs its f64 oracle on the real chip."""
+    from video_stabilizer_tpu.ops import pyr_down
+
+    img = natural_image(96, 128, seed=5)
+    got = np.asarray(pyr_down(jnp.asarray(img)))
+
+    # f64 oracle: separable [1,4,6,4,1]/16 blur + 2x decimation with
+    # repeat-edge (generators.cpp:56-120; same form as test_kernels'
+    # np_pyr_down).
+    c = np.array([1, 4, 6, 4, 1], np.float64) / 16.0
+    p = np.pad(img.astype(np.float64), 2, mode="edge")
+    rows = sum(c[i] * p[i : i + 96 : 2, :] for i in range(5))
+    oracle = sum(c[j] * rows[:, j : j + 128 : 2] for j in range(5))
+    assert got.shape == oracle.shape == (48, 64)
+    assert np.abs(got.astype(np.float64) - oracle).max() <= 1.0
+
+
+def test_align_pipeline_smoke_on_tpu():
+    """End-to-end known-motion recovery through the jitted align program on
+    the real chip (compile + numerics smoke for the whole kernel chain)."""
+    from video_stabilizer_tpu import transforms as T
+    from video_stabilizer_tpu.config import AlignerParams
+    from video_stabilizer_tpu.models.aligner import VideoAligner
+    from video_stabilizer_tpu.ops.warp import warp_image_bgr
+
+    h, w = 192, 256
+    img = natural_image(h, w, seed=11)
+    t_center = jnp.asarray([0.0, 0.0, 1.6, -2.3], jnp.float32)
+    t_ul = T.center_to_ul(t_center, w, h, minus_one=False)
+    moved = np.asarray(warp_image_bgr(
+        jnp.asarray(img), T.inverse(t_ul), interp="lanczos2", border="edge"))
+
+    al = VideoAligner(AlignerParams())
+    al.align_next_frame(img)
+    t, ok = al.align_next_frame(moved)
+    assert bool(ok)
+    corners = np.asarray(
+        T.warp_points_center(jnp.asarray(t), jnp.asarray(
+            [[0.0, 0.0], [w - 1.0, 0.0], [0.0, h - 1.0],
+             [w - 1.0, h - 1.0]], jnp.float32), w * 0.5, h * 0.5))
+    target = np.asarray(
+        T.warp_points_center(t_center, jnp.asarray(
+            [[0.0, 0.0], [w - 1.0, 0.0], [0.0, h - 1.0],
+             [w - 1.0, h - 1.0]], jnp.float32), w * 0.5, h * 0.5))
+    err = np.linalg.norm(corners - target, axis=-1).max()
+    assert err < 0.4, err
