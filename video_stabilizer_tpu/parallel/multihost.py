@@ -41,16 +41,25 @@ def initialize_multihost(coordinator_address: str | None = None,
                          num_processes: int | None = None,
                          process_id: int | None = None) -> None:
     """Bring up jax.distributed when running multi-process; no-op when the
-    environment provides no coordinator (single-process dev/test)."""
+    environment provides no coordinator (single-process dev/test).
+
+    Must run before ANY backend-initializing jax call — including
+    jax.process_count(), which is why the no-coordinator check comes first
+    and double-initialization is handled by catching the initialize()
+    error rather than querying process_count() (found by the two-process
+    smoke test, apps/multihost_smoke.py)."""
     import os
 
-    if jax.process_count() > 1:
-        return  # already initialized
     if coordinator_address is None and "JAX_COORDINATOR_ADDRESS" not in os.environ:
         return  # single-process
-    jax.distributed.initialize(coordinator_address=coordinator_address,
-                               num_processes=num_processes,
-                               process_id=process_id)
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except RuntimeError as e:
+        if "already" in str(e) or "once" in str(e):
+            return  # idempotent: a second call is a no-op
+        raise
 
 
 def local_stream_slice(total_streams: int) -> slice:
