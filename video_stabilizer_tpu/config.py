@@ -59,6 +59,18 @@ class AlignerParams:
     # reductions is validated against the f64 oracle in tests.
     dtype: str = "float32"
 
+    # Gauss-Newton inner-loop backend:
+    #   "auto":   Pallas in-VMEM kernel (ops/pallas_gn.py) on real TPU
+    #             backends for levels whose windows fit VMEM, XLA while_loop
+    #             otherwise;
+    #   "pallas": force the Pallas kernel (interpreter mode off-TPU — the
+    #             equivalence tests use this);
+    #   "xla":    force the XLA while_loop.
+    # The kernel keeps the (P, P, N) windows VMEM-resident across all GN
+    # iterations instead of re-reading HBM per iteration (the profiled
+    # throughput ceiling, docs/ROADMAP.md).
+    gn_kernel: str = "auto"
+
     # Margin (pixels) of the pre-extracted per-tile sampling windows
     # (ops/patches.py). Supports warp displacements up to margin-2 px per
     # level; 12 covers the reference's max_displacement=10 envelope. Applied

@@ -227,6 +227,18 @@ def _gn_corners(spec, dtype):
 GN_CHUNK = 6
 
 
+def _use_pallas_gn(params: AlignerParams, windows) -> bool:
+    """Static decision: run the GN loop in the Pallas in-VMEM kernel?"""
+    from video_stabilizer_tpu.ops.pallas_gn import MAX_WINDOW_BYTES
+
+    if params.gn_kernel == "xla":
+        return False
+    fits = windows.size * windows.dtype.itemsize <= MAX_WINDOW_BYTES
+    if params.gn_kernel == "pallas":
+        return fits
+    return fits and jax.default_backend() == "tpu"
+
+
 def _align_level(spec: LevelSpec, key: LevelKeyData, template_img,
                  transform, params: AlignerParams, dyn: DynAlignParams):
     """One pyramid level: warpdiff selection, Hessian, GN while_loop.
@@ -279,6 +291,27 @@ def _align_level(spec: LevelSpec, key: LevelKeyData, template_img,
 
     # ICA's X/Y-set average (generators.cpp:595) folded into the mask.
     jac_masked = jac * (mask * 0.5)                    # (4, 2, N)
+
+    # Pallas in-VMEM GN path (ops/pallas_gn.py): the whole while_loop in one
+    # kernel with the windows VMEM-resident. Same math, same failure
+    # semantics; falls back to the XLA loop off-TPU ("auto") or when the
+    # level's windows exceed the VMEM budget.
+    if _use_pallas_gn(params, key.windows):
+        from video_stabilizer_tpu.ops.pallas_gn import gn_solve_pallas
+
+        corners_static = ((0.0, 0.0), (w - 1.0, 0.0), (0.0, h - 1.0),
+                          (w - 1.0, h - 1.0))
+        t_final, converged, disp01, iters = gn_solve_pallas(
+            key.windows, tmpl, jac_masked, Hinv, fx, fy, ox, oy,
+            transform.astype(jnp.float32), dyn.threshold,
+            width=w, height=h, max_iters=params.max_iters,
+            corners=corners_static)
+        t_final = t_final.astype(dtype)
+        level_failed = jnp.logical_or(
+            jnp.logical_not(converged),
+            disp01.astype(dtype) > dyn.max_displacement)
+        t_up = t_final * jnp.asarray([1.0, 1.0, 2.0, 2.0], dtype)
+        return t_final, t_up, level_failed, iters
 
     corners = _gn_corners(spec, dtype)
     corners0 = T.warp_points_center(transform, corners, cx, cy)
