@@ -84,7 +84,8 @@ def bench_4k(streams: int, frames: int, reps: int):
     }
 
 
-def bench_latency(reps: int, chain: int):
+def bench_latency(reps: int, chain: int, gn: str = "auto",
+                  fixed_iters=None):
     import jax
     import jax.numpy as jnp
 
@@ -94,7 +95,7 @@ def bench_latency(reps: int, chain: int):
     from video_stabilizer_tpu.utils.io import synth_shaky_clip
 
     h, w = 1080, 1920
-    params = AlignerParams()
+    params = AlignerParams(gn_kernel=gn, fixed_iters=fixed_iters)
     clip = synth_shaky_clip(chain, h, w, seed=6, jitter_px=1.0, color=False)
     frames = jnp.asarray(clip)
     state0 = init_state(w, h, params)
@@ -125,7 +126,8 @@ def bench_latency(reps: int, chain: int):
         per_frame.append(dt / chain * 1e3)
     p50 = float(np.percentile(per_frame, 50))
     return {
-        "metric": "p50_on_device_align_latency_1080p",
+        "metric": f"p50_on_device_align_latency_1080p_gn-{gn}"
+                  + (f"_fixed{fixed_iters}" if fixed_iters else ""),
         "value": round(p50, 3),
         "unit": "ms/frame",
         "note": f"lax.scan of {chain} sequential streaming align steps in "
@@ -135,14 +137,70 @@ def bench_latency(reps: int, chain: int):
     }
 
 
+def bench_latency_chunk2(reps: int, chain: int, gn: str = "auto"):
+    """Low-latency serving deployment: a SINGLE stream fed 2-frame chunks
+    through the chunked state-carrying pipeline — full end-to-end
+    stabilization (align + smooth + accumulate + Pallas warp), ms per
+    frame. The added delay vs true streaming is one frame of batching plus
+    the stabilizer's own lag window. Chains `chain` chunk programs per
+    timing fetch to amortize the tunnel RTT the same way bench.py does."""
+    import jax
+    import jax.numpy as jnp
+
+    from video_stabilizer_tpu.config import AlignerParams, StabilizerParams
+    from video_stabilizer_tpu.models.chunked import (
+        _stabilize_chunk_jit, init_stream_state)
+    from video_stabilizer_tpu.utils.io import synth_shaky_clip
+
+    h, w = 1080, 1920
+    params = StabilizerParams(crop_pixels=32,
+                              aligner=AlignerParams(gn_kernel=gn))
+    clip = synth_shaky_clip(2 * chain, h, w, seed=6, jitter_px=1.0)
+    chunks = [jnp.asarray(clip[2 * k:2 * k + 2]) for k in range(chain)]
+    state = init_stream_state(w, h, params)
+
+    def run(state, probe):
+        for ch in chunks:
+            state, out, meas, ok, valid = _stabilize_chunk_jit(
+                state, ch, params, w, h)
+            probe = probe + jnp.sum(out[-1, ::64, ::64].astype(jnp.int32))
+        return state, probe
+
+    t0 = time.time()
+    state, probe = run(state, jnp.zeros((), jnp.int32))
+    _ = int(probe)
+    print(f"latency-chunk2: first pass {time.time()-t0:.1f}s",
+          file=sys.stderr)
+
+    per_frame = []
+    for _k in range(reps):
+        t0 = time.time()
+        state, probe = run(state, jnp.zeros((), jnp.int32))
+        _ = int(probe)
+        per_frame.append((time.time() - t0) / (2 * chain) * 1e3)
+    p50 = float(np.percentile(per_frame, 50))
+    return {
+        "metric": f"p50_e2e_latency_1080p_chunk2_single_stream_gn-{gn}",
+        "value": round(p50, 3),
+        "unit": "ms/frame",
+        "note": f"{chain} chained 2-frame single-stream chunks (full "
+                f"stabilize incl. output warp), one fetch per rep; "
+                f"per-frame ms: {['%.2f' % t for t in per_frame]}",
+    }
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--mode", choices=["1080p", "4k", "latency"],
+    ap.add_argument("--mode",
+                    choices=["1080p", "4k", "latency", "latency-chunk2"],
                     default="latency")
     ap.add_argument("--streams", type=int, default=2)
     ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--chain", type=int, default=32)
+    ap.add_argument("--gn", choices=["auto", "xla", "pallas"],
+                    default="auto")
+    ap.add_argument("--fixed-iters", type=int, default=None)
     args = ap.parse_args()
 
     import jax
@@ -156,8 +214,11 @@ def main():
                                                "..", "bench.py")])
     elif args.mode == "4k":
         result = bench_4k(args.streams, args.frames, args.reps)
+    elif args.mode == "latency-chunk2":
+        result = bench_latency_chunk2(args.reps, args.chain, args.gn)
     else:
-        result = bench_latency(args.reps, args.chain)
+        result = bench_latency(args.reps, args.chain, args.gn,
+                               args.fixed_iters)
     print(json.dumps(result))
 
 

@@ -36,6 +36,15 @@ class AlignerParams:
     # the while_loop]
     max_iters: int = 64
 
+    # Fixed-iteration GN mode (latency extension, not in the reference):
+    # when set, every level runs EXACTLY this many GN iterations as a
+    # static unroll — no while_loop, no data-dependent trip count, so the
+    # sequential dispatch depth of the streaming (batch=1) path collapses.
+    # Convergence failure semantics become "last step still moved corners
+    # >= threshold". None (default) keeps the reference's converge-or-
+    # max_iters while_loop. [static]
+    fixed_iters: int | None = None
+
     # Pyramid stops when the next level would be smaller than this.
     # alignment.hpp:36-37. [static]
     pyramid_min_width: int = 20

@@ -228,15 +228,26 @@ GN_CHUNK = 6
 
 
 def _use_pallas_gn(params: AlignerParams, windows) -> bool:
-    """Static decision: run the GN loop in the Pallas in-VMEM kernel?"""
+    """Static decision: run the GN loop in the Pallas in-VMEM kernel?
+
+    The kernel wins where the XLA loop is HBM-bound (big windows re-read
+    per iteration); at the small coarse levels the XLA loop's cross-stream
+    fusion wins, so "auto" applies the kernel only above a size floor
+    (VIDSTAB_GN_MIN_BYTES, default 2 MB — L0/L1 at 1080p)."""
+    import os
+
     from video_stabilizer_tpu.ops.pallas_gn import MAX_WINDOW_BYTES
 
-    if params.gn_kernel == "xla":
+    if params.gn_kernel == "xla" or params.fixed_iters is not None:
         return False
-    fits = windows.size * windows.dtype.itemsize <= MAX_WINDOW_BYTES
+    nbytes = windows.size * windows.dtype.itemsize
+    fits = nbytes <= MAX_WINDOW_BYTES
     if params.gn_kernel == "pallas":
         return fits
-    return fits and jax.default_backend() == "tpu"
+    min_bytes = int(os.environ.get("VIDSTAB_GN_MIN_BYTES",
+                                   str(2 * 1024 * 1024)))
+    return (fits and nbytes >= min_bytes
+            and jax.default_backend() == "tpu")
 
 
 def _align_level(spec: LevelSpec, key: LevelKeyData, template_img,
@@ -323,6 +334,33 @@ def _align_level(spec: LevelSpec, key: LevelKeyData, template_img,
         warped = sample_windows_flat(key.windows, rel_x, rel_y)
         residual = tmpl - warped
         return jnp.sum(jac_masked * residual[None], axis=(1, 2))
+
+    # Fixed-iteration mode (latency extension): exactly K iterations as a
+    # static unroll — no while_loop, so the streaming path's sequential
+    # dispatch depth collapses. converged := the LAST step moved corners
+    # less than the threshold (the same signal the reference's loop would
+    # check next).
+    if params.fixed_iters is not None:
+        t = transform
+        prev_corners = corners0
+        disp12 = jnp.zeros((), dtype)
+        for _ in range(params.fixed_iters):
+            b = ica_rhs(t)
+            dt = Hinv @ b
+            delta = jnp.stack([dt[0] * jac_scale, dt[1] * jac_scale,
+                               dt[2], dt[3]])
+            t = T.compose(delta, t)
+            new_corners = T.warp_points_center(t, corners, cx, cy)
+            disp12 = jnp.max(
+                jnp.linalg.norm(new_corners - prev_corners, axis=-1))
+            prev_corners = new_corners
+        converged = disp12 < dyn.threshold
+        disp01 = jnp.max(jnp.linalg.norm(prev_corners - corners0, axis=-1))
+        level_failed = jnp.logical_or(
+            jnp.logical_not(converged), disp01 > dyn.max_displacement)
+        t_up = t * jnp.asarray([1.0, 1.0, 2.0, 2.0], dtype)
+        return t, t_up, level_failed, jnp.asarray(params.fixed_iters,
+                                                  jnp.int32)
 
     def gn_cond(carry):
         _, _, it, converged = carry

@@ -61,7 +61,7 @@ def _warp_corner(a, b, tx, ty, x, y, cx, cy):
 
 def _gn_kernel(thr_ref, t0_ref, hinv_ref, win_ref, tmpl_ref, jacm_ref,
                fx_ref, fy_ref, oxy_ref, out_ref, *,
-               p, n, max_iters, jac_scale, corners, cx, cy):
+               p, n, max_iters, jac_scale, corners, cx, cy, body_mode):
     f32 = jnp.float32
     thr = thr_ref[0, 0]
     t0 = (t0_ref[0, 0], t0_ref[0, 1], t0_ref[0, 2], t0_ref[0, 3])
@@ -73,10 +73,17 @@ def _gn_kernel(thr_ref, t0_ref, hinv_ref, win_ref, tmpl_ref, jacm_ref,
         """b = sum(jac_masked * (tmpl - warped)) over both sets — the exact
         math of aligner.ica_rhs: center_to_ul (W*0.5 convention,
         imgproc.cpp:72-75), clamped window positions, weight-normalized
-        Lanczos2 sample with bf16 products / f32 accumulation."""
+        Lanczos2 sample with bf16 products / f32 accumulation.
+
+        Both keypoint sets share the keyframe windows, so the y-tap loop
+        reads each (P, N) window row ONCE and accumulates both sets'
+        contractions from it."""
         txu = tx - a * cx + b * cy
         tyu = ty - b * cx - a * cy
-        bvec = [jnp.zeros((), f32) for _ in range(4)]
+        # Mosaic layout rule (hard-won): a value reshape that moves a dim
+        # across the sublane boundary ((P,N) -> (P,1,N)) is an unsupported
+        # shape cast. All shapes below are built at their final rank.
+        rel_xs, rel_ys = [], []
         for s in range(2):
             fx = fx_ref[s][None, :]                      # (1, N) f32
             fy = fy_ref[s][None, :]
@@ -84,30 +91,60 @@ def _gn_kernel(thr_ref, t0_ref, hinv_ref, win_ref, tmpl_ref, jacm_ref,
             oy = oxy_ref[1][None, :]
             wx_pos = (1.0 + a) * fx - b * fy + txu
             wy_pos = b * fx + (1.0 + a) * fy + tyu
-            rel_x = jnp.clip(wx_pos - ox, rel_lo, rel_hi)
-            rel_y = jnp.clip(wy_pos - oy, rel_lo, rel_hi)
+            rel_xs.append(jnp.clip(wx_pos - ox, rel_lo, rel_hi))
+            rel_ys.append(jnp.clip(wy_pos - oy, rel_lo, rel_hi))
 
-            # x-tap weights, full (P, N) once; y-tap weights recomputed per
-            # row inside the tap loop (7 FMAs) to keep the loop free of
-            # dynamic value indexing.
+        nums, den = [], []
+        if body_mode == "fused":
+            # One fused (P, P, N) contraction per set: Mosaic schedules the
+            # elementwise+reduce without the fori dependency chain. Weights
+            # are built directly at rank 3 via broadcasted_iota.
+            win = win_ref[:]                              # (P, P, N) bf16
+            taps_y3 = jax.lax.broadcasted_iota(
+                jnp.int32, (p, 1, n), 0).astype(f32)
+            taps_x3 = jax.lax.broadcasted_iota(
+                jnp.int32, (1, p, n), 1).astype(f32)
+            for s in range(2):
+                wy3 = lanczos2(taps_y3 - rel_ys[s][None])   # (P, 1, N)
+                wx3 = lanczos2(taps_x3 - rel_xs[s][None])   # (1, P, N)
+                den.append(jnp.sum(wy3, axis=0)
+                           * jnp.sum(wx3, axis=1))          # (1, N)
+                prod = (win * wy3.astype(jnp.bfloat16)) * \
+                    wx3.astype(jnp.bfloat16)
+                nums.append(jnp.sum(jnp.sum(prod.astype(f32), axis=0),
+                                    axis=0, keepdims=True))
+        else:
+            # y-tap fori over window rows: each (P, N) row is read ONCE and
+            # feeds both sets' contractions; the y-weight row is recomputed
+            # per tap (7 FMAs on (1, N)) to keep the body free of dynamic
+            # value indexing.
             taps = jax.lax.broadcasted_iota(jnp.int32, (p, n), 0).astype(f32)
-            wx_w = lanczos2(taps - rel_x)                # (P, N) f32
-            wy_w = lanczos2(taps - rel_y)
-            den = (jnp.sum(wy_w, axis=0, keepdims=True)
-                   * jnp.sum(wx_w, axis=0, keepdims=True))
-            wx_b = wx_w.astype(jnp.bfloat16)
+            wx_b = []
+            for s in range(2):
+                wx_s = lanczos2(taps - rel_xs[s])           # (P, N) f32
+                wy_s = lanczos2(taps - rel_ys[s])
+                den.append(jnp.sum(wy_s, axis=0, keepdims=True)
+                           * jnp.sum(wx_s, axis=0, keepdims=True))
+                wx_b.append(wx_s.astype(jnp.bfloat16))
 
-            def tap_row(iy, acc):
-                # The windows are shared by both keypoint sets (they're the
-                # keyframe's per-tile windows); only the positions differ.
-                wy_row = lanczos2(iy.astype(f32) - rel_y)   # (1, N)
-                prod = (win_ref[iy] * wy_row.astype(jnp.bfloat16)
-                        ) * wx_b                            # (P, N) bf16
-                return acc + jnp.sum(prod.astype(f32), axis=0,
-                                     keepdims=True)
+            def tap_row(iy, accs):
+                row = win_ref[iy]                           # (P, N) bf16
+                iyf = iy.astype(f32)
+                new = []
+                for s in range(2):
+                    wy_row = lanczos2(iyf - rel_ys[s])      # (1, N)
+                    prod = (row * wy_row.astype(jnp.bfloat16)) * wx_b[s]
+                    new.append(accs[s] + jnp.sum(prod.astype(f32), axis=0,
+                                                 keepdims=True))
+                return tuple(new)
 
-            num = jax.lax.fori_loop(0, p, tap_row, jnp.zeros((1, n), f32))
-            residual = tmpl_ref[s][None, :] - num / den     # (1, N)
+            nums = list(jax.lax.fori_loop(
+                0, p, tap_row,
+                (jnp.zeros((1, n), f32), jnp.zeros((1, n), f32))))
+
+        bvec = [jnp.zeros((), f32) for _ in range(4)]
+        for s in range(2):
+            residual = tmpl_ref[s][None, :] - nums[s] / den[s]   # (1, N)
             for k in range(4):
                 bvec[k] = bvec[k] + jnp.sum(
                     jacm_ref[k * 2 + s][None, :] * residual)
@@ -190,10 +227,13 @@ def gn_solve_pallas(windows, tmpl, jac_masked, hinv, fx, fy, ox, oy,
     p, _, n = windows.shape
     f32 = jnp.float32
 
+    import os
+
+    body_mode = os.environ.get("VIDSTAB_GN_BODY", "tap")
     kernel = functools.partial(
         _gn_kernel, p=p, n=n, max_iters=int(max_iters),
         jac_scale=1.0 / float(width), corners=tuple(corners),
-        cx=float(width) * 0.5, cy=float(height) * 0.5)
+        cx=float(width) * 0.5, cy=float(height) * 0.5, body_mode=body_mode)
 
     win_bytes = p * p * n * 2
     out = pl.pallas_call(
@@ -203,7 +243,7 @@ def gn_solve_pallas(windows, tmpl, jac_masked, hinv, fx, fy, ox, oy,
             pl.BlockSpec(memory_space=pltpu.SMEM),    # threshold (1,1)
             pl.BlockSpec(memory_space=pltpu.VMEM),    # t_init (1,4)
             pl.BlockSpec(memory_space=pltpu.VMEM),    # hinv (4,4)
-            pl.BlockSpec(memory_space=pltpu.VMEM),    # windows (2P? no: P,P,N)
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # windows (P,P,N)
             pl.BlockSpec(memory_space=pltpu.VMEM),    # tmpl (2,N)
             pl.BlockSpec(memory_space=pltpu.VMEM),    # jacm (8,N)
             pl.BlockSpec(memory_space=pltpu.VMEM),    # fx (2,N)
@@ -212,7 +252,7 @@ def gn_solve_pallas(windows, tmpl, jac_masked, hinv, fx, fy, ox, oy,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=win_bytes + 32 * 1024 * 1024),
+            vmem_limit_bytes=win_bytes + 48 * 1024 * 1024),
         interpret=interpret,
     )(
         jnp.reshape(threshold.astype(f32), (1, 1)),
