@@ -85,7 +85,7 @@ def bench_4k(streams: int, frames: int, reps: int):
 
 
 def bench_latency(reps: int, chain: int, gn: str = "auto",
-                  fixed_iters=None):
+                  fixed_iters=None, merge_coarse: int = 0):
     import jax
     import jax.numpy as jnp
 
@@ -95,7 +95,8 @@ def bench_latency(reps: int, chain: int, gn: str = "auto",
     from video_stabilizer_tpu.utils.io import synth_shaky_clip
 
     h, w = 1080, 1920
-    params = AlignerParams(gn_kernel=gn, fixed_iters=fixed_iters)
+    params = AlignerParams(gn_kernel=gn, fixed_iters=fixed_iters,
+                           merge_coarse=merge_coarse)
     clip = synth_shaky_clip(chain, h, w, seed=6, jitter_px=1.0, color=False)
     frames = jnp.asarray(clip)
     state0 = init_state(w, h, params)
@@ -127,7 +128,8 @@ def bench_latency(reps: int, chain: int, gn: str = "auto",
     p50 = float(np.percentile(per_frame, 50))
     return {
         "metric": f"p50_on_device_align_latency_1080p_gn-{gn}"
-                  + (f"_fixed{fixed_iters}" if fixed_iters else ""),
+                  + (f"_fixed{fixed_iters}" if fixed_iters else "")
+                  + (f"_merge{merge_coarse}" if merge_coarse else ""),
         "value": round(p50, 3),
         "unit": "ms/frame",
         "note": f"lax.scan of {chain} sequential streaming align steps in "
@@ -201,6 +203,7 @@ def main():
     ap.add_argument("--gn", choices=["auto", "xla", "pallas"],
                     default="auto")
     ap.add_argument("--fixed-iters", type=int, default=None)
+    ap.add_argument("--merge-coarse", type=int, default=0)
     args = ap.parse_args()
 
     import jax
@@ -218,7 +221,7 @@ def main():
         result = bench_latency_chunk2(args.reps, args.chain, args.gn)
     else:
         result = bench_latency(args.reps, args.chain, args.gn,
-                               args.fixed_iters)
+                               args.fixed_iters, args.merge_coarse)
     print(json.dumps(result))
 
 

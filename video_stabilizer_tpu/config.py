@@ -45,6 +45,18 @@ class AlignerParams:
     # max_iters while_loop. [static]
     fixed_iters: int | None = None
 
+    # Merge the GN programs of this many of the COARSEST pyramid levels
+    # into ONE while_loop over zero-padded union buffers (latency
+    # extension, not in the reference). The coarse levels' iterations are
+    # dominated by fixed per-op dispatch latency, not compute, so running
+    # levels back-to-back inside a single loop (per-level warpdiff /
+    # selection / Hessian recomputed at level entry under lax.cond) cuts
+    # the sequential program depth. 0 disables; values < 2 are no-ops.
+    # Requires selection="mask"; ignored when fixed_iters is set (that
+    # mode has no while_loops to merge). Numerics match the unmerged path
+    # to f32 reduction-order tolerance (test_merged_levels.py). [static]
+    merge_coarse: int = 0
+
     # Pyramid stops when the next level would be smaller than this.
     # alignment.hpp:36-37. [static]
     pyramid_min_width: int = 20

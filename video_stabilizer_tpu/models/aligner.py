@@ -433,6 +433,164 @@ def _phase_init(state_pyramid, curr, specs, params, dtype):
                            curr == KEYFRAME_INDEX)
 
 
+def _align_levels_merged(specs, key, template_pyr, k: int, transform,
+                         params: AlignerParams, dyn: DynAlignParams):
+    """Run the k COARSEST levels' GN programs as ONE while_loop over
+    zero-padded union buffers (the latency extension behind
+    AlignerParams.merge_coarse; reference level loop: alignment.cpp:390-688).
+
+    The coarse levels' GN iterations are dispatch-latency-bound, not
+    compute-bound, so collapsing their per-level while_loops (plus the
+    between-loop warpdiff/selection/Hessian preludes) into a single loop
+    cuts the sequential program depth of the streaming path. The carried
+    level index walks coarsest -> finest; level entry work runs under
+    ``lax.cond(it == 0)``.
+
+    Exact-equivalence argument vs the unmerged path:
+      - padded window taps carry Lanczos weight EXACTLY 0 (ops/lanczos.py
+        zeroes |x| >= 2 and positions are clamped to the REAL per-level
+        window interior, so every padded tap sits >= 2 away);
+      - padded keypoint lanes have zero Jacobian rows -> exact zero
+        Hessian / ICA-RHS contributions;
+      - padded warp-diffs are forced into the histogram overflow bin and
+        the keep target uses the real count (histogram_mask n_valid), so
+        the selection threshold is computed over exactly the real lanes.
+    The only deviation is f32 reduction order across the padded lanes
+    (~1e-6 relative), bounded by tests/test_merged_levels.py.
+    """
+    dtype = jnp.dtype(params.dtype)
+    order = [len(specs) - 1 - i for i in range(k)]   # coarsest first
+    pm = max(key[l].windows.shape[0] for l in order)
+    nm = max(specs[l].ht * specs[l].wt for l in order)
+
+    wins_l, tmpl_l, fx_l, fy_l, jac_l = [], [], [], [], []
+    ox_l, oy_l, valid_l, corners_l, consts_l = [], [], [], [], []
+    for l in order:
+        s, kd = specs[l], key[l]
+        n = s.ht * s.wt
+        p = kd.windows.shape[0]
+        dn, dp = nm - n, pm - p
+        tmpl_x = take_at_tile_argmax(template_pyr[l], kd.idx_x, s.tile)
+        tmpl_y = take_at_tile_argmax(template_pyr[l], kd.idx_y, s.tile)
+        tmpl = jnp.stack([tmpl_x, tmpl_y]).reshape(2, n).astype(dtype)
+        wins_l.append(jnp.pad(kd.windows, ((0, dp), (0, dp), (0, dn))))
+        tmpl_l.append(jnp.pad(tmpl, ((0, 0), (0, dn))))
+        fx_l.append(jnp.pad(kd.coords[0].astype(dtype), ((0, 0), (0, dn))))
+        fy_l.append(jnp.pad(kd.coords[1].astype(dtype), ((0, 0), (0, dn))))
+        jac_l.append(jnp.pad(kd.jac, ((0, 0), (0, 0), (0, dn))))
+        ox, oy = window_origins_flat(s.ht, s.wt, s.tile, s.margin)
+        ox_l.append(jnp.pad(ox, (0, dn)))
+        oy_l.append(jnp.pad(oy, (0, dn)))
+        valid_l.append((jnp.arange(nm) < n).astype(dtype))
+        corners_l.append(_gn_corners(s, dtype))
+        consts_l.append((float(s.width), float(s.height),
+                         float(p) - 3.0 - 1e-3, float(n), 1.0 / s.width))
+    wins_st = jnp.stack(wins_l)            # (k, Pm, Pm, Nm) bf16
+    tmpl_st = jnp.stack(tmpl_l)            # (k, 2, Nm)
+    fx_st = jnp.stack(fx_l)
+    fy_st = jnp.stack(fy_l)
+    jac_st = jnp.stack(jac_l)              # (k, 4, 2, Nm)
+    ox_st = jnp.stack(ox_l)                # (k, Nm)
+    oy_st = jnp.stack(oy_l)
+    valid_st = jnp.stack(valid_l)          # (k, Nm)
+    corners_st = jnp.stack(corners_l)      # (k, 4, 2)
+    consts_st = jnp.asarray(consts_l, dtype)   # (k, 5)
+
+    thr = dyn.threshold
+    max_iters = params.max_iters
+    upscale = jnp.asarray([1.0, 1.0, 2.0, 2.0], dtype)
+
+    def body(carry):
+        (i, t_comm, t_work, failed, it, conv, mask, hinv, c0, pc) = carry
+        wins_i = wins_st[i]
+        tmpl_i = tmpl_st[i]
+        fx_i, fy_i = fx_st[i], fy_st[i]
+        jac_i = jac_st[i]
+        ox_i, oy_i = ox_st[i], oy_st[i]
+        corners_i = corners_st[i]
+        w_i, h_i, relhi_i, nreal_i, jacscale_i = (
+            consts_st[i, 0], consts_st[i, 1], consts_st[i, 2],
+            consts_st[i, 3], consts_st[i, 4])
+        cx_i, cy_i = w_i * 0.5, h_i * 0.5
+
+        def rel_positions(t):
+            t_ul = T.center_to_ul(t, w_i, h_i, minus_one=False)
+            a, b, tx, ty = t_ul[0], t_ul[1], t_ul[2], t_ul[3]
+            wx = (1.0 + a) * fx_i - b * fy_i + tx
+            wy = b * fx_i + (1.0 + a) * fy_i + ty
+            return (jnp.clip(wx - ox_i, 2.0, relhi_i),
+                    jnp.clip(wy - oy_i, 2.0, relhi_i))
+
+        def entry(_):
+            # Level prelude at the committed transform: warpdiff selection,
+            # Hessian + regularized inverse, corner baselines (the work
+            # _align_level does outside its while_loop).
+            t0 = t_comm
+            rel_x0, rel_y0 = rel_positions(t0)
+            wd = jnp.abs(sample_windows_flat(wins_i, rel_x0, rel_y0)
+                         - tmpl_i)
+            wd = jnp.where(valid_st[i] > 0, wd, 1e9)
+            m = jnp.stack([
+                histogram_mask(wd[0], dyn.smallest_fraction,
+                               n_valid=nreal_i),
+                histogram_mask(wd[1], dyn.smallest_fraction,
+                               n_valid=nreal_i)]).astype(dtype)
+            jm = jac_i * m
+            H = jnp.sum(jm[:, None] * jac_i[None, :], axis=(2, 3))
+            c00 = T.warp_points_center(t0, corners_i, cx_i, cy_i)
+            return t0, m, regularized_pinv_sym4(H), c00, c00
+
+        t, mask, hinv, c0, pc = jax.lax.cond(
+            it == 0, entry, lambda _: (t_work, mask, hinv, c0, pc), None)
+        jacm = jac_i * (mask * 0.5)
+
+        prev_corners, conv_l = pc, conv
+        for j in range(GN_CHUNK):
+            rel_x, rel_y = rel_positions(t)
+            warped = sample_windows_flat(wins_i, rel_x, rel_y)
+            b = jnp.sum(jacm * (tmpl_i - warped)[None], axis=(1, 2))
+            dt = hinv @ b
+            delta = jnp.stack([dt[0] * jacscale_i, dt[1] * jacscale_i,
+                               dt[2], dt[3]])
+            t_new = T.compose(delta, t)
+            new_c = T.warp_points_center(t_new, corners_i, cx_i, cy_i)
+            disp12 = jnp.max(jnp.linalg.norm(new_c - prev_corners, axis=-1))
+            do = jnp.logical_and(jnp.logical_not(conv_l),
+                                 it + j < max_iters)
+            t = jnp.where(do, t_new, t)
+            prev_corners = jnp.where(do, new_c, prev_corners)
+            conv_l = jnp.logical_or(
+                conv_l, jnp.logical_and(do, disp12 < thr))
+        it_next = it + GN_CHUNK
+        level_done = jnp.logical_or(conv_l, it_next >= max_iters)
+
+        # Level exit: failure checks + TX/TY upscale (alignment.cpp:661-687;
+        # every merged level is > 0, so the upscale always applies on
+        # success), with the committed transform frozen once failed.
+        disp01 = jnp.max(jnp.linalg.norm(prev_corners - c0, axis=-1))
+        level_failed = jnp.logical_or(jnp.logical_not(conv_l),
+                                      disp01 > dyn.max_displacement)
+        t_next = jnp.where(level_failed, t, t * upscale)
+        t_comm2 = jnp.where(
+            level_done, jnp.where(failed, t_comm, t_next), t_comm)
+        failed2 = jnp.logical_or(
+            failed, jnp.logical_and(level_done, level_failed))
+
+        i2 = jnp.where(level_done, i + 1, i)
+        it2 = jnp.where(level_done, 0, it_next)
+        conv2 = jnp.logical_and(jnp.logical_not(level_done), conv_l)
+        return (i2, t_comm2, t, failed2, it2, conv2, mask, hinv, c0,
+                prev_corners)
+
+    init = (jnp.zeros((), jnp.int32), transform, transform,
+            jnp.zeros((), bool), jnp.zeros((), jnp.int32),
+            jnp.zeros((), bool), jnp.zeros((2, nm), dtype),
+            jnp.zeros((4, 4), dtype), jnp.zeros((4, 2), dtype),
+            jnp.zeros((4, 2), dtype))
+    out = jax.lax.while_loop(lambda c: c[0] < k, body, init)
+    return out[1], out[3]
+
+
 def align_all_levels(template_pyr, key, specs,
                      params: AlignerParams, t_init, dyn: DynAlignParams = None):
     """The coarse-to-fine level loop (alignment.cpp:390-688), statically
@@ -454,7 +612,15 @@ def align_all_levels(template_pyr, key, specs,
         dyn = make_dyn_params(params, jnp.dtype(params.dtype))
     transform = t_init
     failed = jnp.zeros((), bool)
-    for lvl in range(len(specs) - 1, -1, -1):
+    start = len(specs) - 1
+    km = min(params.merge_coarse, len(specs) - 1)
+    if (km >= 2 and params.selection == "mask"
+            and params.fixed_iters is None
+            and params.gn_kernel != "pallas"):
+        transform, failed = _align_levels_merged(
+            specs, key, template_pyr, km, transform, params, dyn)
+        start = len(specs) - 1 - km
+    for lvl in range(start, -1, -1):
         t_raw, t_up, level_failed, _ = _align_level(
             specs[lvl], key[lvl], template_pyr[lvl], transform, params, dyn)
         t_next = jnp.where(level_failed, t_raw, t_up) if lvl > 0 else t_raw

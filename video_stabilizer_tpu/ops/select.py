@@ -21,7 +21,7 @@ import jax.numpy as jnp
 DEFAULT_BINS = 257
 
 
-def histogram_mask(wd, fraction, bins: int = DEFAULT_BINS):
+def histogram_mask(wd, fraction, bins: int = DEFAULT_BINS, n_valid=None):
     """0/1 mask of the smallest-``fraction`` values of ``wd``.
 
     Finds the smallest integer threshold t in [0, bins) with
@@ -36,11 +36,16 @@ def histogram_mask(wd, fraction, bins: int = DEFAULT_BINS):
       wd: (...,) non-negative diff values (float). Batched over leading
         axes? No — the threshold is global over all elements of ``wd``.
       fraction: traced or static scalar in (0, 1].
+      n_valid: optional element count the keep target is computed from
+        (defaults to ``wd.size``). The padded-level merge passes the REAL
+        keypoint count here while the padded lanes carry values >= bins-1,
+        reproducing the unpadded selection exactly (padded lanes land in
+        the overflow bin, above any reachable threshold).
     Returns:
       float mask, same shape: 1.0 for kept entries. At least the requested
       count is kept (ties at the threshold bin are all included).
     """
-    n = wd.size
+    n = wd.size if n_valid is None else n_valid
     v = jnp.clip(jnp.floor(wd), 0, bins - 1).astype(jnp.float32)
     k = jnp.floor(jnp.asarray(n * fraction, jnp.float32))
 
