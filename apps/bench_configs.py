@@ -139,7 +139,8 @@ def bench_latency(reps: int, chain: int, gn: str = "auto",
     }
 
 
-def bench_latency_chunk2(reps: int, chain: int, gn: str = "auto"):
+def bench_latency_chunk2(reps: int, chain: int, gn: str = "auto",
+                         merge_coarse: int = 0):
     """Low-latency serving deployment: a SINGLE stream fed 2-frame chunks
     through the chunked state-carrying pipeline — full end-to-end
     stabilization (align + smooth + accumulate + Pallas warp), ms per
@@ -155,8 +156,9 @@ def bench_latency_chunk2(reps: int, chain: int, gn: str = "auto"):
     from video_stabilizer_tpu.utils.io import synth_shaky_clip
 
     h, w = 1080, 1920
-    params = StabilizerParams(crop_pixels=32,
-                              aligner=AlignerParams(gn_kernel=gn))
+    params = StabilizerParams(
+        crop_pixels=32,
+        aligner=AlignerParams(gn_kernel=gn, merge_coarse=merge_coarse))
     clip = synth_shaky_clip(2 * chain, h, w, seed=6, jitter_px=1.0)
     chunks = [jnp.asarray(clip[2 * k:2 * k + 2]) for k in range(chain)]
     state = init_stream_state(w, h, params)
@@ -182,7 +184,8 @@ def bench_latency_chunk2(reps: int, chain: int, gn: str = "auto"):
         per_frame.append((time.time() - t0) / (2 * chain) * 1e3)
     p50 = float(np.percentile(per_frame, 50))
     return {
-        "metric": f"p50_e2e_latency_1080p_chunk2_single_stream_gn-{gn}",
+        "metric": f"p50_e2e_latency_1080p_chunk2_single_stream_gn-{gn}"
+                  + (f"_merge{merge_coarse}" if merge_coarse else ""),
         "value": round(p50, 3),
         "unit": "ms/frame",
         "note": f"{chain} chained 2-frame single-stream chunks (full "
@@ -218,7 +221,8 @@ def main():
     elif args.mode == "4k":
         result = bench_4k(args.streams, args.frames, args.reps)
     elif args.mode == "latency-chunk2":
-        result = bench_latency_chunk2(args.reps, args.chain, args.gn)
+        result = bench_latency_chunk2(args.reps, args.chain, args.gn,
+                                      args.merge_coarse)
     else:
         result = bench_latency(args.reps, args.chain, args.gn,
                                args.fixed_iters, args.merge_coarse)

@@ -18,28 +18,50 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def summarize_xplane(logdir):
-    """Parse the newest xplane.pb under logdir into per-op total times."""
+def summarize_xplane(logdir, top: int = 40):
+    """Parse the newest xplane.pb under logdir into per-op total times.
+
+    Reads the XSpace proto directly (tensorflow.tsl.profiler xplane_pb2)
+    and aggregates XLA-op event durations on the TPU device plane — the
+    tensorboard_plugin_profile converter in this image is ABI-mismatched
+    with both its pywrap (missing xspace_to_tools_data) and upb protobufs,
+    so the raw proto walk is the only working route here. Run with
+    PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python (pure-python protobuf;
+    the upb fast path rejects the plugin's stale generated code).
+    """
     paths = sorted(glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
                              recursive=True), key=os.path.getmtime)
     if not paths:
         print("no xplane found", file=sys.stderr)
         return
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
-    data, _ = raw_to_tool_data.xspace_to_tool_data(
-        [paths[-1]], "framework_op_stats", {})
-    import json
-    # framework_op_stats returns JSON-ish; fall back to raw dump on surprise.
-    try:
-        rows = json.loads(data)
-    except Exception:
-        out = os.path.join(logdir, "op_stats_raw.txt")
-        with open(out, "w") as f:
-            f.write(data if isinstance(data, str) else str(data))
-        print(f"wrote raw tool data to {out}", file=sys.stderr)
-        return
-    print(json.dumps(rows)[:4000])
+    xs = xplane_pb2.XSpace()
+    with open(paths[-1], "rb") as f:
+        xs.ParseFromString(f.read())
+    for plane in xs.planes:
+        if not plane.name.startswith("/device:TPU"):
+            continue
+        meta = plane.event_metadata
+        totals, counts = {}, {}
+        for line in plane.lines:
+            # Line 0 ("XLA Ops") carries the per-op schedule; deeper lines
+            # repeat the same spans under module/fusion grouping.
+            if line.name not in ("XLA Ops", "XLA TraceMe", "Steps"):
+                if "Ops" not in line.name and line.id != 0:
+                    continue
+            for ev in line.events:
+                name = meta[ev.metadata_id].name
+                totals[name] = totals.get(name, 0) + ev.duration_ps
+                counts[name] = counts.get(name, 0) + 1
+        if not totals:
+            continue
+        grand = sum(totals.values())
+        print(f"\n== {plane.name}: {len(totals)} distinct ops, "
+              f"total {grand/1e12*1e3:.2f} ms ==")
+        for name, ps in sorted(totals.items(), key=lambda kv: -kv[1])[:top]:
+            print(f"{ps/1e12*1e3:9.3f} ms  {100.0*ps/grand:5.1f}%  "
+                  f"x{counts[name]:<5d} {name[:110]}")
 
 
 def main():
@@ -47,7 +69,15 @@ def main():
     ap.add_argument("--streams", type=int, default=8)
     ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--logdir", default="/tmp/vidstab_trace")
+    ap.add_argument("--mode", choices=["1080p", "4k"], default="1080p",
+                    help="4k = config-4 (homography + phase + lanczos2)")
+    ap.add_argument("--parse-only", action="store_true",
+                    help="skip the TPU run; summarize an existing trace")
     args = ap.parse_args()
+
+    if args.parse_only:
+        summarize_xplane(args.logdir)
+        return
 
     import jax
     import jax.numpy as jnp
@@ -56,23 +86,36 @@ def main():
                       os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from video_stabilizer_tpu.config import StabilizerParams
+    from video_stabilizer_tpu.config import AlignerParams, StabilizerParams
     from video_stabilizer_tpu.models.chunked import (
         _stabilize_chunk_streams_jit, init_stream_state)
     from video_stabilizer_tpu.utils.io import synth_shaky_clip
 
-    h, w = 1080, 1920
-    params = StabilizerParams(crop_pixels=32)
+    if args.mode == "4k":
+        h, w = 2160, 3840
+        params = StabilizerParams(
+            aligner=AlignerParams(phase_correlate=True),
+            output_interp="lanczos2", crop_pixels=32)
+        model = "homography"
+    else:
+        h, w = 1080, 1920
+        params = StabilizerParams(crop_pixels=32)
+        model = "similarity"
     clip = synth_shaky_clip(args.frames, h, w, seed=5, jitter_px=1.0,
                             pan_px_per_frame=0.3)
     clips = jnp.asarray(
         np.broadcast_to(clip, (args.streams,) + clip.shape).copy())
-    states = jax.vmap(lambda _: init_stream_state(w, h, params))(
-        jnp.arange(args.streams))
+    if args.mode == "4k":
+        states = jax.vmap(
+            lambda _: init_stream_state(w, h, params, 3, "homography"))(
+                jnp.arange(args.streams))
+    else:
+        states = jax.vmap(lambda _: init_stream_state(w, h, params))(
+            jnp.arange(args.streams))
 
     def run(states, x):
         states, out, meas, ok, valid = _stabilize_chunk_streams_jit(
-            states, x, params, w, h)
+            states, x, params, w, h, model)
         return states, float(jnp.sum(out[:, -1, ::64, ::64]))
 
     t0 = time.time()
