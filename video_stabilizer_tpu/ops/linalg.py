@@ -13,20 +13,105 @@ pseudo-inverse (alignment.cpp:553-583) entirely on device.
 
 from __future__ import annotations
 
+import functools
+
 import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=None)
+def _round_robin_rounds(n: int):
+    """All n*(n-1)/2 index pairs as n-1 rounds of n/2 DISJOINT pairs
+    (the circle round-robin schedule). Disjoint Jacobi rotations commute
+    exactly, so each round applies as ONE orthogonal matrix."""
+    idx = list(range(n))
+    rounds = []
+    for _ in range(n - 1):
+        pairs = [tuple(sorted((idx[i], idx[n - 1 - i])))
+                 for i in range(n // 2)]
+        rounds.append(tuple(pairs))
+        idx = [idx[0], idx[-1]] + idx[1:-1]
+    return tuple(rounds)
+
 
 def eigh_sym(A, sweeps: int = 6):
     """Eigendecomposition of a small static-size symmetric matrix via
-    cyclic Jacobi rotations.
+    fixed-sweep Jacobi rotations.
+
+    Two orderings, same n*(n-1)/2 pairs per sweep:
+
+    * n == 4 (the similarity-transform Hessian): classic CYCLIC ordering,
+      sequential row/column rewrites. 36 unrolled rotations — small, and
+      its numerics are pinned bit-for-bit by the golden measurement trace
+      (tests/test_golden_trace.py), so this path must not change.
+    * n >= 6 (the 8x8 homography Hessian): PARALLEL round-robin ordering.
+      Each round rotates n/2 DISJOINT pairs at once; disjoint Givens
+      rotations commute exactly, so the round is ONE dense orthogonal
+      update A <- R A R^T, V <- V R^T (three n x n matmuls) instead of
+      n/2 sequential row/column rewrites. The cyclic form unrolled to
+      ~1000 dynamic-update-slice + 336 trig ops per 8x8 call — 16.6% of
+      the whole 4K chunk program as profiled (apps/profile_chunk.py
+      --mode 4k); this form is ~12 ops per round with the constant
+      one-hot selectors folded by XLA. Rotation ORDER differs from
+      cyclic, so eigenvectors/values differ at roundoff level — fine for
+      the homography path, whose tests tolerance this, but exactly why
+      n == 4 keeps the cyclic path.
 
     Args:
-      A: (n, n) symmetric (float32/float64), n static and small (4, 8, ...).
-      sweeps: fixed sweep count (6 sweeps reaches f32 machine precision for
-        tiny matrices; convergence is quadratic).
+      A: (n, n) symmetric (float32/float64), n static, small and EVEN
+        (4 similarity, 8 homography).
+      sweeps: fixed sweep count (6 sweeps reaches f32 machine precision
+        for tiny matrices; convergence is quadratic).
 
     Returns:
       (w, V): eigenvalues (n,) (unsorted) and eigenvectors (n, n) with
       A ≈ V @ diag(w) @ V.T.
+    """
+    n = A.shape[-1]
+    assert n % 2 == 0, "eigh_sym supports even sizes (4, 8)"
+    if n == 4:
+        return _eigh_sym_cyclic(A, sweeps)
+    dtype = A.dtype
+    V = jnp.eye(n, dtype=dtype)
+    eps = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+
+    # Constant per-round selectors (folded by XLA): Ep/Eq pick the pair
+    # rows; rest = identity on the untouched diagonal entries.
+    sel = []
+    for pairs in _round_robin_rounds(n):
+        ps = [p for p, _ in pairs]
+        qs = [q for _, q in pairs]
+        ep = np.eye(n, dtype=np.float64)[ps]
+        eq = np.eye(n, dtype=np.float64)[qs]
+        rest = np.eye(n, dtype=np.float64) - ep.T @ ep - eq.T @ eq
+        sel.append((jnp.asarray(ep, dtype), jnp.asarray(eq, dtype),
+                    jnp.asarray(rest, dtype)))
+
+    for _ in range(sweeps):
+        for ep, eq, rest in sel:
+            rows_p = ep @ A                       # (n/2, n)
+            rows_q = eq @ A
+            app = jnp.sum(rows_p * ep, axis=1)    # (n/2,)
+            aqq = jnp.sum(rows_q * eq, axis=1)
+            apq = jnp.sum(rows_p * eq, axis=1)
+            # Branch-free rotations: phi = 0.5*atan2(2*apq, app - aqq)
+            # zeroes each A[p,q]; apq == 0 gives c=1, s=0 up to roundoff.
+            phi = 0.5 * jnp.arctan2(2.0 * apq, app - aqq + eps)
+            c = jnp.cos(phi)[:, None]
+            s = jnp.sin(phi)[:, None]
+            r = rest + ep.T @ (c * ep + s * eq) + eq.T @ (c * eq - s * ep)
+            A = r @ A @ r.T
+            V = V @ r.T
+
+    return jnp.diagonal(A), V
+
+
+def _eigh_sym_cyclic(A, sweeps: int = 6):
+    """Sequential cyclic-Jacobi reference ordering (golden-trace-exact).
+
+    Kept verbatim for n == 4: the measurement golden trace pins the
+    similarity GN trajectory through this exact rotation order, and the
+    36-rotation unroll is cheap at that size.
     """
     n = A.shape[-1]
     pairs = [(p, q) for p in range(n) for q in range(p + 1, n)]
@@ -44,8 +129,6 @@ def eigh_sym(A, sweeps: int = 6):
             phi = 0.5 * jnp.arctan2(2.0 * apq, app - aqq + eps)
             c = jnp.cos(phi)
             s = jnp.sin(phi)
-            # Apply G^T A G and V G with G = I except G[pp]=G[qq]=c,
-            # G[pq]=-s? (sign folded below). Row/col updates, branch-free.
             row_p = A[p, :]
             row_q = A[q, :]
             new_p = c * row_p + s * row_q
