@@ -6,12 +6,19 @@ Farneback optical flow, the median flow magnitude over pixels; the final
 searches score combos by the ratio out_jitter / in_jitter
 (grid_search_align.cpp:183-184).
 
-Uses cv2's Farneback (identical algorithm + parameters to the reference)
-when available, with a JAX pyramidal Lucas-Kanade dense-flow fallback so the
-metric also runs in cv2-free environments (and on device).
+Uses cv2's Farneback (identical algorithm + parameters to the reference).
+In a cv2-free environment this metric REFUSES to run by default rather than
+silently substituting a different statistic: set
+``VIDSTAB_ALLOW_JITTER_FALLBACK=1`` to opt into the on-device dense-LK twin
+(utils/flow.py — per-pixel dense flow, same median-of-medians shape, but a
+different flow algorithm, so its absolute values are not comparable with
+Farneback-based regression baselines).
 """
 
 from __future__ import annotations
+
+import os
+import warnings
 
 import numpy as np
 
@@ -35,25 +42,26 @@ def _flow_median_cv2(prev_gray, gray):
     return float(np.median(mag))
 
 
-def _flow_median_jax(prev_gray, gray):  # pragma: no cover - fallback path
-    """Coarse dense-LK fallback: per-block translation via phase of local
-    gradients; adequate for a relative jitter metric."""
-    import jax.numpy as jnp
+def _flow_median_fallback(prev_gray, gray):  # pragma: no cover - fallback
+    """Opt-in cv2-free path: per-pixel dense-LK median |flow|
+    (utils/flow.py), the closest available statistic to Farneback's.
+    Guarded by VIDSTAB_ALLOW_JITTER_FALLBACK so a missing cv2 can never
+    silently change a regression baseline (VERDICT r2 weak item 6)."""
+    if os.environ.get("VIDSTAB_ALLOW_JITTER_FALLBACK") != "1":
+        raise RuntimeError(
+            "median_jitter_px requires cv2 for the reference-exact Farneback "
+            "statistic (eval_jitter.cpp:50-51). cv2 is unavailable; set "
+            "VIDSTAB_ALLOW_JITTER_FALLBACK=1 to use the on-device dense-LK "
+            "twin (different algorithm — do not compare against "
+            "Farneback-based baselines), or use "
+            "utils.flow.median_jitter_px_device explicitly.")
+    warnings.warn("median_jitter_px: cv2 unavailable — using the dense-LK "
+                  "fallback; values are not comparable with Farneback-based "
+                  "baselines.", RuntimeWarning, stacklevel=3)
+    from video_stabilizer_tpu.utils.flow import median_flow_px
 
-    from video_stabilizer_tpu.ops.phase_corr import phase_correlate
-
-    a = jnp.asarray(prev_gray, jnp.float32)
-    b = jnp.asarray(gray, jnp.float32)
-    h, w = a.shape
-    bs = 64
-    mags = []
-    for y in range(0, h - bs + 1, bs):
-        for x in range(0, w - bs + 1, bs):
-            shift, _ = phase_correlate(a[y : y + bs, x : x + bs],
-                                       b[y : y + bs, x : x + bs])
-            s = np.asarray(shift)
-            mags.append(float(np.hypot(s[0], s[1])))
-    return float(np.median(np.asarray(mags))) if mags else 0.0
+    return float(median_flow_px(np.asarray(prev_gray, np.float32),
+                                np.asarray(gray, np.float32)))
 
 
 def median_jitter_px(frames) -> float:
@@ -80,7 +88,7 @@ def median_jitter_px(frames) -> float:
             if HAS_CV2:
                 per_frame.append(_flow_median_cv2(prev, gray))
             else:  # pragma: no cover
-                per_frame.append(_flow_median_jax(prev, gray))
+                per_frame.append(_flow_median_fallback(prev, gray))
         prev = gray
     if not per_frame:
         return 0.0
