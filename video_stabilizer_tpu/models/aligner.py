@@ -123,7 +123,8 @@ class LevelKeyData(NamedTuple):
     idx_y: jnp.ndarray
     coords: jnp.ndarray    # (2 xy, 2 sets, N) float32 keypoint coordinates
     jac: jnp.ndarray       # (4, 2 sets, N) float Jacobian rows
-    windows: jnp.ndarray   # (P, P, N) bf16 keyframe windows
+    windows: jnp.ndarray   # (P, P, N) keyframe windows — u8 storage (exact),
+                           # bf16 on levels the Pallas GN kernel consumes
 
 
 class AlignerState(NamedTuple):
@@ -149,7 +150,7 @@ def init_state(width: int, height: int, params: AlignerParams) -> AlignerState:
             windows=jnp.zeros(
                 (window_size(s.tile, s.margin),
                  window_size(s.tile, s.margin),
-                 s.ht * s.wt), jnp.bfloat16),
+                 s.ht * s.wt), _window_store_dtype(params, s)),
         ) for s in specs)
     return AlignerState(
         pyramid=pyramid,
@@ -192,7 +193,8 @@ def _compute_keyframe(key_imgs, specs, params) -> Tuple[LevelKeyData, ...]:
             jnp.stack([ux + cx_l, uy + cx_l]),
             jnp.stack([vx + cy_l, vy + cy_l]),
         ])                                                    # (xy, set, N)
-        windows = extract_tile_windows_flat(img, s.tile, s.margin)
+        windows = extract_tile_windows_flat(
+            img, s.tile, s.margin, out_dtype=_window_store_dtype(params, s))
         out.append(LevelKeyData(idx_x, idx_y, coords, jac, windows))
     return tuple(out)
 
@@ -227,20 +229,24 @@ def _gn_corners(spec, dtype):
 GN_CHUNK = 6
 
 
-def _use_pallas_gn(params: AlignerParams, windows) -> bool:
-    """Static decision: run the GN loop in the Pallas in-VMEM kernel?
+def _gn_level_uses_pallas(params: AlignerParams, p: int, n: int) -> bool:
+    """Static decision: run this level's GN loop in the Pallas in-VMEM
+    kernel? (geometry-based so the window STORAGE dtype can be chosen to
+    match the consumer — see ``_window_store_dtype``).
 
     The kernel wins where the XLA loop is HBM-bound (big windows re-read
     per iteration); at the small coarse levels the XLA loop's cross-stream
     fusion wins, so "auto" applies the kernel only above a size floor
-    (VIDSTAB_GN_MIN_BYTES, default 2 MB — L0/L1 at 1080p)."""
+    (VIDSTAB_GN_MIN_BYTES, default 2 MB — L0/L1 at 1080p). Sizes are
+    counted as-if-bf16 (the kernel's VMEM operand dtype), independent of
+    the HBM storage dtype."""
     import os
 
     from video_stabilizer_tpu.ops.pallas_gn import MAX_WINDOW_BYTES
 
     if params.gn_kernel == "xla" or params.fixed_iters is not None:
         return False
-    nbytes = windows.size * windows.dtype.itemsize
+    nbytes = p * p * n * 2
     fits = nbytes <= MAX_WINDOW_BYTES
     if params.gn_kernel == "pallas":
         return fits
@@ -248,6 +254,21 @@ def _use_pallas_gn(params: AlignerParams, windows) -> bool:
                                    str(2 * 1024 * 1024)))
     return (fits and nbytes >= min_bytes
             and jax.default_backend() == "tpu")
+
+
+def _use_pallas_gn(params: AlignerParams, windows) -> bool:
+    return _gn_level_uses_pallas(params, windows.shape[0], windows.shape[-1])
+
+
+def _window_store_dtype(params: AlignerParams, spec: LevelSpec):
+    """HBM storage dtype of a level's sampling windows: bf16 where the
+    Pallas GN kernel DMAs them straight into VMEM, u8 everywhere else (u8
+    values are exact; ``sample_windows_flat`` upcasts in-register, so the
+    XLA loop's bf16 products are bit-identical at half the HBM traffic)."""
+    p = window_size(spec.tile, spec.margin)
+    return (jnp.bfloat16
+            if _gn_level_uses_pallas(params, p, spec.ht * spec.wt)
+            else jnp.uint8)
 
 
 def _align_level(spec: LevelSpec, key: LevelKeyData, template_img,
@@ -313,7 +334,8 @@ def _align_level(spec: LevelSpec, key: LevelKeyData, template_img,
         corners_static = ((0.0, 0.0), (w - 1.0, 0.0), (0.0, h - 1.0),
                           (w - 1.0, h - 1.0))
         t_final, converged, disp01, iters = gn_solve_pallas(
-            key.windows, tmpl, jac_masked, Hinv, fx, fy, ox, oy,
+            key.windows.astype(jnp.bfloat16), tmpl, jac_masked, Hinv,
+            fx, fy, ox, oy,
             transform.astype(jnp.float32), dyn.threshold,
             width=w, height=h, max_iters=params.max_iters,
             corners=corners_static)
@@ -485,7 +507,7 @@ def _align_levels_merged(specs, key, template_pyr, k: int, transform,
         corners_l.append(_gn_corners(s, dtype))
         consts_l.append((float(s.width), float(s.height),
                          float(p) - 3.0 - 1e-3, float(n), 1.0 / s.width))
-    wins_st = jnp.stack(wins_l)            # (k, Pm, Pm, Nm) bf16
+    wins_st = jnp.stack(wins_l)            # (k, Pm, Pm, Nm) u8
     tmpl_st = jnp.stack(tmpl_l)            # (k, 2, Nm)
     fx_st = jnp.stack(fx_l)
     fy_st = jnp.stack(fy_l)

@@ -63,7 +63,7 @@ class LevelKeyDataH(NamedTuple):
     idx_y: jnp.ndarray
     coords: jnp.ndarray   # (2 xy, 2 sets, N) float32 pixel coordinates
     jac: jnp.ndarray      # (8, 2 sets, N)
-    windows: jnp.ndarray  # (P, P, N) bf16
+    windows: jnp.ndarray  # (P, P, N) u8 (exact; upcast in-register at use)
 
 
 def _compute_keyframe_h(key_imgs, specs, params):

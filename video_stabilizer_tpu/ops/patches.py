@@ -72,7 +72,7 @@ def _window_stack(img, tile: int, margin: int, out_dtype):
 
 
 def extract_tile_windows_flat(img, tile: int, margin: int,
-                              out_dtype=jnp.bfloat16):
+                              out_dtype=jnp.uint8):
     """Like ``extract_tile_windows`` but laid out (P, P, Ht*Wt): the tile
     grid lives on the minor (lane) axis, so the GN inner loop's weight
     arrays and reductions tile the VPU's (8, 128) registers densely instead
@@ -87,6 +87,13 @@ def extract_tile_windows_flat(img, tile: int, margin: int,
     minor axis in place. u8 pixels are exact in bf16 and the one-hot
     contraction copies them exactly, so the result is bit-identical to the
     slicing construction (pinned by the sampling oracle tests).
+
+    Storage defaults to uint8: the pixel values are exact u8 integers, and
+    u8 storage halves the GN inner loop's HBM traffic vs bf16 (the loop
+    re-reads the windows every iteration; ``sample_windows_flat`` upcasts
+    in-register, so the bf16 products are bit-identical either way). Pass
+    bfloat16 for consumers that need the windows pre-cast (the Pallas GN
+    kernel's VMEM operand).
     """
     h, w = img.shape[-2], img.shape[-1]
     t = tile
@@ -137,13 +144,19 @@ def sample_windows_flat(windows, rel_x, rel_y, dtype=jnp.float32):
     # lowers this contraction as an N-batched (P)x(P,P) bilinear form whose
     # operand layouts put the tap axes minor — ~16x register-tile waste
     # (measured). The reduce-fusion keeps N on the lane axis throughout.
-    # The product runs in the windows' storage dtype (bf16): upcasting first
-    # makes XLA materialize an f32 copy of the whole windows tensor in HBM
-    # (measured ~0.3ms/iteration at 1080p); bf16 products with an f32
-    # reduce accumulator lose <1 intensity RMS per sample, ~0.001px of GN
-    # accuracy after the N-point average.
-    wdt = windows.dtype
-    prod = windows * wy[..., :, None, :].astype(wdt) * wx[..., None, :, :].astype(wdt)
+    # The product runs in bf16 with an f32 reduce accumulator: upcasting the
+    # windows first makes XLA materialize an f32 copy of the whole tensor in
+    # HBM (measured ~0.3ms/iteration at 1080p); bf16 products lose <1
+    # intensity RMS per sample, ~0.001px of GN accuracy after the N-point
+    # average. u8-stored windows upcast in-register to the same bf16 values
+    # — bit-identical products at half the HBM traffic. (A separable
+    # two-stage reduction — x-taps then y-taps — measured 25% faster in an
+    # isolated GN-loop micro-bench but 5-7% SLOWER in the full chunk
+    # program: it splits the sampling/ICA reduce fusion and materializes the
+    # (..., P, N) inner intermediate per iteration. Keep the fused form.)
+    wdt = jnp.bfloat16 if windows.dtype == jnp.uint8 else windows.dtype
+    prod = (windows.astype(wdt) * wy[..., :, None, :].astype(wdt)
+            * wx[..., None, :, :].astype(wdt))
     num = jnp.sum(prod, axis=(-3, -2), dtype=dtype)
     den = jnp.sum(wy, axis=-2) * jnp.sum(wx, axis=-2)
     return num / den
