@@ -65,10 +65,8 @@ def test_selection_modes_converge_to_same_transforms():
     assert float(np.median(deltas)) < 0.1, deltas
 
     # Run the solver to tight convergence: the inter-mode delta collapses
-    # to < 0.09 px (measured 0.048 with the fused sampling reduce, 0.075
-    # after the separable two-stage reduce landed — the bound tracks GN
-    # stopping slack under reduce-order wobble, not a selection-semantics
-    # divergence; the default-threshold spread above stays ~3x larger).
+    # to < 0.06 px (measured 0.048), proving the default-threshold spread
+    # is GN stopping slack, not a selection-semantics divergence.
     tight_mask = AlignerParams(threshold=0.002, max_iters=128)
     tight_topk = AlignerParams(threshold=0.002, max_iters=128,
                                selection="topk")
@@ -76,7 +74,7 @@ def test_selection_modes_converge_to_same_transforms():
     m_topk_t, _ = align_clip(frames, tight_topk)
     deltas_t = [_max_corner_delta(a, b, w, h)
                 for a, b in zip(np.asarray(m_mask_t), np.asarray(m_topk_t))]
-    assert max(deltas_t) < 0.09, (max(deltas_t), deltas_t)
+    assert max(deltas_t) < 0.06, (max(deltas_t), deltas_t)
 
 
 # ------------------------------------------------------------------ item 2
