@@ -18,6 +18,64 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
+def summarize_by_source(logdir, top: int = 30):
+    """Aggregate TPU op time by repo source line (the `source` stat XLA
+    attaches to each op's metadata) — answers "which line of OUR code is
+    this fusion soup" directly instead of eyeballing HLO names. Async
+    copy/slice spans are excluded (they overlap compute; their wall cost
+    shows up in the ops that wait on them)."""
+    import glob as _glob
+    paths = sorted(_glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
+                              recursive=True), key=os.path.getmtime)
+    if not paths:
+        print("no xplane found", file=sys.stderr)
+        return
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    xs = xplane_pb2.XSpace()
+    with open(paths[-1], "rb") as f:
+        xs.ParseFromString(f.read())
+    for plane in xs.planes:
+        if not plane.name.startswith("/device:TPU"):
+            continue
+        meta = plane.event_metadata
+        smeta = plane.stat_metadata
+        src_of = {}
+        for mid, em in meta.items():
+            name = em.name
+            if ("copy-start" in name or "slice-start" in name
+                    or "copy-done" in name or "slice-done" in name
+                    or name.startswith("%while")):
+                continue
+            src = None
+            for st in em.stats:
+                key = smeta[st.metadata_id].name if st.metadata_id in smeta \
+                    else ""
+                if key == "source":
+                    v = st.str_value or (st.ref_value
+                                         and smeta[st.ref_value].name) or ""
+                    src = v.split("/")[-1] if v else None
+            src_of[mid] = src or "<no source>"
+        totals, counts = {}, {}
+        for line in plane.lines:
+            if line.name not in ("XLA Ops",) and "Ops" not in line.name:
+                continue
+            for ev in line.events:
+                if ev.metadata_id not in src_of:
+                    continue
+                s = src_of[ev.metadata_id]
+                totals[s] = totals.get(s, 0) + ev.duration_ps
+                counts[s] = counts.get(s, 0) + 1
+        if not totals:
+            continue
+        grand = sum(totals.values())
+        print(f"\n== {plane.name} by source line (sync ops only), "
+              f"total {grand/1e12*1e3:.2f} ms ==")
+        for s, ps in sorted(totals.items(), key=lambda kv: -kv[1])[:top]:
+            print(f"{ps/1e12*1e3:9.3f} ms  {100.0*ps/grand:5.1f}%  "
+                  f"x{counts[s]:<6d} {s[:100]}")
+
+
 def summarize_xplane(logdir, top: int = 40):
     """Parse the newest xplane.pb under logdir into per-op total times.
 
@@ -73,10 +131,13 @@ def main():
                     help="4k = config-4 (homography + phase + lanczos2)")
     ap.add_argument("--parse-only", action="store_true",
                     help="skip the TPU run; summarize an existing trace")
+    ap.add_argument("--by-source", action="store_true",
+                    help="aggregate by repo source line instead of HLO op")
     args = ap.parse_args()
 
     if args.parse_only:
-        summarize_xplane(args.logdir)
+        (summarize_by_source if args.by_source
+         else summarize_xplane)(args.logdir)
         return
 
     import jax

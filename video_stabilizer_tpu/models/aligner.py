@@ -229,6 +229,21 @@ def _gn_corners(spec, dtype):
 GN_CHUNK = 6
 
 
+def gn_chunk_for(p: int, n: int) -> int:
+    """Per-level unroll width of the XLA GN while_loop body.
+
+    Masked past-convergence iterations are free at the small coarse levels
+    (dispatch-latency-bound) but NOT at levels with multi-MB windows: each
+    masked iteration there re-reads the full (P, P, N) windows for nothing.
+    A census on the benchmark content (fixed-chunk=1 run) measured true
+    convergence at 1-4 iterations per level — with a 6-wide unroll the
+    finest level ran 6 full ICA passes where 1 sufficed. 2-wide at big
+    levels bounds the waste at one masked pass while keeping the worst-case
+    (max_iters) trip count reasonable. Results are identical for any width:
+    the masked updates don't change the carried transform."""
+    return 2 if p * p * n * 2 >= 2 * 1024 * 1024 else GN_CHUNK
+
+
 def _gn_level_uses_pallas(params: AlignerParams, p: int, n: int) -> bool:
     """Static decision: run this level's GN loop in the Pallas in-VMEM
     kernel? (geometry-based so the window STORAGE dtype can be chosen to
@@ -384,13 +399,15 @@ def _align_level(spec: LevelSpec, key: LevelKeyData, template_img,
         return t, t_up, level_failed, jnp.asarray(params.fixed_iters,
                                                   jnp.int32)
 
+    chunk = gn_chunk_for(p, n)
+
     def gn_cond(carry):
         _, _, it, converged = carry
         return jnp.logical_and(jnp.logical_not(converged), it < params.max_iters)
 
     def gn_body(carry):
         t, prev_corners, it, conv = carry
-        for j in range(GN_CHUNK):
+        for j in range(chunk):
             b = ica_rhs(t)
             dt = Hinv @ b
             delta = jnp.stack([dt[0] * jac_scale, dt[1] * jac_scale,
@@ -405,7 +422,7 @@ def _align_level(spec: LevelSpec, key: LevelKeyData, template_img,
             prev_corners = jnp.where(do, new_corners, prev_corners)
             conv = jnp.logical_or(
                 conv, jnp.logical_and(do, disp12 < dyn.threshold))
-        return (t, prev_corners, it + GN_CHUNK, conv)
+        return (t, prev_corners, it + chunk, conv)
 
     t_final, corners1, iters, converged = jax.lax.while_loop(
         gn_cond, gn_body,

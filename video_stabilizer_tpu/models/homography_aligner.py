@@ -30,10 +30,10 @@ from video_stabilizer_tpu import homography as Hm
 from video_stabilizer_tpu.config import (
     AlignerParams, StabilizerParams, resolve_residual_bound)
 from video_stabilizer_tpu.models.aligner import (
-    GN_CHUNK,
     LevelSpec,
     PHASE_LEVEL,
     _selection_mask,
+    gn_chunk_for,
     level_specs,
     make_dyn_params,
 )
@@ -145,13 +145,19 @@ def _align_level_h(spec: LevelSpec, key: LevelKeyDataH, template_img,
         residual = tmpl - warped
         return jnp.sum(jac_masked * residual[None], axis=(1, 2))
 
+    # Per-level unroll width: big-window levels bound masked-iteration
+    # waste at one ICA pass (see aligner.gn_chunk_for — the full-window
+    # re-read per masked iteration dominates at multi-MB levels, and the
+    # 8-DOF path runs the XLA loop at EVERY level).
+    chunk = gn_chunk_for(psize, n)
+
     def gn_cond(carry):
         _, _, it, conv = carry
         return jnp.logical_and(jnp.logical_not(conv), it < params.max_iters)
 
     def gn_body(carry):
         p, prev_c, it, conv = carry
-        for j in range(GN_CHUNK):
+        for j in range(chunk):
             dt = Hinv @ rhs(p)
             p_new = Hm.compose(dt, p)
             c_new = Hm.warp_points(p_new, corners, w_l, h_l)
@@ -162,7 +168,7 @@ def _align_level_h(spec: LevelSpec, key: LevelKeyDataH, template_img,
             prev_c = jnp.where(do, c_new, prev_c)
             conv = jnp.logical_or(conv,
                                   jnp.logical_and(do, disp < dyn.threshold))
-        return (p, prev_c, it + GN_CHUNK, conv)
+        return (p, prev_c, it + chunk, conv)
 
     p_fin, c1, _, conv = jax.lax.while_loop(
         gn_cond, gn_body,
