@@ -167,8 +167,9 @@ def _compute_keyframe(key_imgs, specs, params) -> Tuple[LevelKeyData, ...]:
     for img, s in zip(key_imgs, specs):
         gx, gy = grad_xy(img, dtype=dtype)
         idx_x, coords_x, idx_y, coords_y = grad_argmax(gx, gy, s.tile)
-        gval_x = take_at_tile_argmax(gx, idx_x, s.tile)
-        gval_y = take_at_tile_argmax(gy, idx_y, s.tile)
+        gval = take_at_tile_argmax(jnp.stack([gx, gy]),
+                                   jnp.stack([idx_x, idx_y]), s.tile)
+        gval_x, gval_y = gval[0], gval[1]
         # Jacobian rows built DIRECTLY in the flat (4, set, N) hot-loop
         # layout (generators.cpp:332-423 semantics — see ops/sparse.py's
         # grid-layout twin): stacking per-row avoids a hostile [4*2*N]
@@ -307,10 +308,11 @@ def _align_level(spec: LevelSpec, key: LevelKeyData, template_img,
     n = spec.ht * spec.wt
 
     # Template intensities at the keyframe's argmax coords — a per-tile
-    # take_along_axis, not a gather (see ops/argmax.py).
-    tmpl_x = take_at_tile_argmax(template_img, key.idx_x, spec.tile)
-    tmpl_y = take_at_tile_argmax(template_img, key.idx_y, spec.tile)
-    tmpl = jnp.stack([tmpl_x, tmpl_y]).reshape(2, n).astype(dtype)  # (2, N)
+    # take_along_axis, not a gather (see ops/argmax.py); both sets in one
+    # stacked read.
+    tmpl = take_at_tile_argmax(
+        template_img, jnp.stack([key.idx_x, key.idx_y]),
+        spec.tile).reshape(2, n).astype(dtype)             # (2, N)
     fx = key.coords[0]                                 # (2, N)
     fy = key.coords[1]
     jac = key.jac                                      # (4, 2, N)
@@ -509,9 +511,9 @@ def _align_levels_merged(specs, key, template_pyr, k: int, transform,
         n = s.ht * s.wt
         p = kd.windows.shape[0]
         dn, dp = nm - n, pm - p
-        tmpl_x = take_at_tile_argmax(template_pyr[l], kd.idx_x, s.tile)
-        tmpl_y = take_at_tile_argmax(template_pyr[l], kd.idx_y, s.tile)
-        tmpl = jnp.stack([tmpl_x, tmpl_y]).reshape(2, n).astype(dtype)
+        tmpl = take_at_tile_argmax(
+            template_pyr[l], jnp.stack([kd.idx_x, kd.idx_y]),
+            s.tile).reshape(2, n).astype(dtype)
         wins_l.append(jnp.pad(kd.windows, ((0, dp), (0, dp), (0, dn))))
         tmpl_l.append(jnp.pad(tmpl, ((0, 0), (0, dn))))
         fx_l.append(jnp.pad(kd.coords[0].astype(dtype), ((0, 0), (0, dn))))

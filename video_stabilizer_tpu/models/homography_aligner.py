@@ -72,8 +72,9 @@ def _compute_keyframe_h(key_imgs, specs, params):
     for img, s in zip(key_imgs, specs):
         gx, gy = grad_xy(img, dtype=dtype)
         idx_x, coords_x, idx_y, coords_y = grad_argmax(gx, gy, s.tile)
-        gval_x = take_at_tile_argmax(gx, idx_x, s.tile).reshape(-1)
-        gval_y = take_at_tile_argmax(gy, idx_y, s.tile).reshape(-1)
+        gval = take_at_tile_argmax(jnp.stack([gx, gy]),
+                                   jnp.stack([idx_x, idx_y]), s.tile)
+        gval_x, gval_y = gval[0].reshape(-1), gval[1].reshape(-1)
         n = s.ht * s.wt
         w_l, h_l = float(s.width), float(s.height)
 
@@ -113,9 +114,9 @@ def _align_level_h(spec: LevelSpec, key: LevelKeyDataH, template_img,
                    p_in, params: AlignerParams, dyn):
     dtype = jnp.dtype(params.dtype)
     n = spec.ht * spec.wt
-    tmpl_x = take_at_tile_argmax(template_img, key.idx_x, spec.tile)
-    tmpl_y = take_at_tile_argmax(template_img, key.idx_y, spec.tile)
-    tmpl = jnp.stack([tmpl_x, tmpl_y]).reshape(2, n).astype(dtype)
+    tmpl = take_at_tile_argmax(
+        template_img, jnp.stack([key.idx_x, key.idx_y]),
+        spec.tile).reshape(2, n).astype(dtype)
     fx, fy = key.coords[0], key.coords[1]
     jac = key.jac                                       # (8, 2, N)
     psize = key.windows.shape[0]

@@ -57,37 +57,43 @@ def _tile_argmax_2stage(a, tile_size):
     row segment, stage 2 the first maximal row.
 
     Args:
-      a: (H', W') values (already cropped to tile multiples).
+      a: (..., H', W') values (already cropped to tile multiples); leading
+        axes batch (the X/Y gradient sets ride one fused reduction).
     Returns:
-      (dy, dx): (Ht, Wt) int32 within-tile offsets of the per-tile
+      (dy, dx): (..., Ht, Wt) int32 within-tile offsets of the per-tile
       argmax of ``a``.
     """
     t = tile_size
-    hc, wc = a.shape
+    lead = a.shape[:-2]
+    hc, wc = a.shape[-2], a.shape[-1]
     ht, wt = hc // t, wc // t
-    # Stage 1 (x within tile): (H', Wt, t) — minor split, free.
-    a1 = a.reshape(hc, wt, t)
-    dx1 = jnp.argmax(a1, axis=-1).astype(jnp.int32)            # (H', Wt)
-    v1 = _mask_reduce(a1, dx1, axis=-1)                        # (H', Wt)
-    # Stage 2 (y within tile): (Ht, t, Wt) — major split, free.
-    dy = jnp.argmax(v1.reshape(ht, t, wt), axis=1).astype(jnp.int32)
-    dx = _mask_reduce(dx1.reshape(ht, t, wt).astype(jnp.float32), dy,
-                      axis=1).astype(jnp.int32)                # (Ht, Wt)
+    # Stage 1 (x within tile): (..., H', Wt, t) — minor split, free.
+    a1 = a.reshape(lead + (hc, wt, t))
+    dx1 = jnp.argmax(a1, axis=-1).astype(jnp.int32)            # (..., H', Wt)
+    v1 = _mask_reduce(a1, dx1, axis=-1)                        # (..., H', Wt)
+    # Stage 2 (y within tile): (..., Ht, t, Wt) — major split, free.
+    dy = jnp.argmax(v1.reshape(lead + (ht, t, wt)),
+                    axis=-2).astype(jnp.int32)
+    dx = _mask_reduce(dx1.reshape(lead + (ht, t, wt)).astype(jnp.float32),
+                      dy, axis=-2).astype(jnp.int32)           # (..., Ht, Wt)
     return dy, dx
 
 
 def _value_at(img, dy, dx, tile_size):
     """img value at per-tile offsets (dy, dx) — two mask-reduces on free
-    reshapes."""
+    reshapes. Leading axes of ``img`` and ``dy``/``dx`` broadcast (one
+    image read at both keypoint sets' offsets, or a stack of images each
+    at its own offsets)."""
     t = tile_size
     h, w = img.shape[-2], img.shape[-1]
     ht, wt = h // t, w // t
-    x = img[: ht * t, : wt * t].astype(jnp.float32)
-    # Row select: (Ht, t, W') with dy broadcast over each tile's columns.
-    rows = _mask_reduce(x.reshape(ht, t, wt * t),
-                        jnp.repeat(dy, t, axis=1), axis=1)     # (Ht, W')
-    # Column select: (Ht, Wt, t) minor split.
-    return _mask_reduce(rows.reshape(ht, wt, t), dx, axis=-1)  # (Ht, Wt)
+    x = img[..., : ht * t, : wt * t].astype(jnp.float32)
+    # Row select: (..., Ht, t, W') with dy broadcast over each tile's cols.
+    rows = _mask_reduce(x.reshape(x.shape[:-2] + (ht, t, wt * t)),
+                        jnp.repeat(dy, t, axis=-1), axis=-2)   # (..., Ht, W')
+    # Column select: (..., Ht, Wt, t) minor split.
+    return _mask_reduce(rows.reshape(rows.shape[:-1] + (wt, t)),
+                        dx, axis=-1)                           # (..., Ht, Wt)
 
 
 def grad_argmax(grad_x, grad_y, tile_size):
@@ -111,13 +117,13 @@ def grad_argmax(grad_x, grad_y, tile_size):
     ty = jnp.arange(ht, dtype=jnp.int32)[:, None]
     tx = jnp.arange(wt, dtype=jnp.int32)[None, :]
 
-    out = []
-    for g in (grad_x, grad_y):
-        dy, dx = _tile_argmax_2stage(jnp.abs(g[: ht * t, : wt * t]), t)
-        idx = dy * t + dx
-        coords = jnp.stack([tx * t + dx, ty * t + dy], axis=-1)
-        out.extend([idx, coords])
-    return tuple(out)
+    # Both gradient sets through ONE stacked reduction pass (identical
+    # per-slice arithmetic; halves the keyframe argmax dispatch count).
+    g2 = jnp.abs(jnp.stack([grad_x, grad_y])[:, : ht * t, : wt * t])
+    dy, dx = _tile_argmax_2stage(g2, t)                 # (2, Ht, Wt)
+    idx = dy * t + dx
+    coords = jnp.stack([tx * t + dx, ty * t + dy], axis=-1)  # (2, Ht, Wt, 2)
+    return idx[0], coords[0], idx[1], coords[1]
 
 
 def take_at_tile_argmax(img, idx, tile_size):
@@ -130,10 +136,11 @@ def take_at_tile_argmax(img, idx, tile_size):
     (generators.cpp:554-556, 666-668).
 
     Args:
-      img: (H, W) array.
-      idx: (Ht, Wt) flat within-tile argmax from ``grad_argmax``.
+      img: (..., H, W) array; leading axes broadcast against ``idx``'s.
+      idx: (..., Ht, Wt) flat within-tile argmax from ``grad_argmax`` —
+        stack both keypoint sets' indices to read them in one fused pass.
     Returns:
-      (Ht, Wt) float32 values of ``img`` at the argmax pixels.
+      (..., Ht, Wt) float32 values of ``img`` at the argmax pixels.
     """
     t = tile_size
     return _value_at(img, idx // t, idx % t, t)
