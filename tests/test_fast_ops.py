@@ -152,3 +152,55 @@ def test_window_sampling_identity_reads_pixels(test_image):
     got = np.asarray(sample_windows(windows, rel_x, rel_y))
     want = test_image[np.asarray(coords)[..., 1], np.asarray(coords)[..., 0]]
     np.testing.assert_allclose(got, want.astype(np.float64), atol=0.15)
+
+
+def test_take_at_tile_argmax_batched_matches_per_set():
+    """The stacked X/Y-set read (leading-axis broadcast) must equal two
+    independent reads — both for one shared image at two index sets and
+    for a stack of images each with its own indices."""
+    from video_stabilizer_tpu.ops.argmax import grad_argmax, take_at_tile_argmax
+
+    rng = np.random.default_rng(11)
+    t = 6
+    img = jnp.asarray(rng.integers(0, 256, (48, 60), dtype=np.uint8))
+    gx = jnp.asarray(rng.normal(size=(48, 60)).astype(np.float32))
+    gy = jnp.asarray(rng.normal(size=(48, 60)).astype(np.float32))
+    idx_x, _, idx_y, _ = grad_argmax(gx, gy, t)
+
+    # Shared image, stacked indices.
+    both = np.asarray(take_at_tile_argmax(
+        img, jnp.stack([idx_x, idx_y]), t))
+    np.testing.assert_array_equal(
+        both[0], np.asarray(take_at_tile_argmax(img, idx_x, t)))
+    np.testing.assert_array_equal(
+        both[1], np.asarray(take_at_tile_argmax(img, idx_y, t)))
+
+    # Paired images and indices.
+    paired = np.asarray(take_at_tile_argmax(
+        jnp.stack([gx, gy]), jnp.stack([idx_x, idx_y]), t))
+    np.testing.assert_array_equal(
+        paired[0], np.asarray(take_at_tile_argmax(gx, idx_x, t)))
+    np.testing.assert_array_equal(
+        paired[1], np.asarray(take_at_tile_argmax(gy, idx_y, t)))
+
+
+def test_gn_chunk_and_window_dtype_policy():
+    """Static policy helpers: big-window levels get the 2-wide GN unroll
+    and (off the Pallas path) u8 window storage; small levels keep the
+    6-wide unroll."""
+    from video_stabilizer_tpu.config import AlignerParams
+    from video_stabilizer_tpu.models.aligner import (
+        GN_CHUNK, LevelSpec, _window_store_dtype, gn_chunk_for)
+
+    assert gn_chunk_for(32, 5184) == 2      # 1080p L0: 10.6 MB as-if-bf16
+    assert gn_chunk_for(22, 1296) == GN_CHUNK   # 1080p L2: 1.25 MB
+    # On CPU (no real-TPU backend) the auto Pallas path is off -> u8
+    # storage everywhere.
+    spec_big = LevelSpec(1920, 1080, 20, 96, 54, 6)
+    spec_small = LevelSpec(480, 270, 10, 48, 27, 6)
+    p = AlignerParams()
+    assert _window_store_dtype(p, spec_big) == jnp.uint8
+    assert _window_store_dtype(p, spec_small) == jnp.uint8
+    # Forcing the Pallas kernel flips fitting levels to bf16 storage.
+    p_pallas = AlignerParams(gn_kernel="pallas")
+    assert _window_store_dtype(p_pallas, spec_small) == jnp.bfloat16
