@@ -12,6 +12,10 @@ Modes (--mode):
             program, so dispatch + tunnel RTT amortize away and
             total/K isolates device execution time of the streaming
             (batch=1) align path. p50 over reps.
+  latency-request  TRUE single-call latency: p50/p99 of ONE 2-frame chunk
+            submit->result with no chaining (the unamortized number a live
+            caller sees), plus the dispatch-RTT floor and the
+            full-frame-fetch variant.
 
 Run on the real TPU (no platform override).
 """
@@ -27,10 +31,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def bench_4k(streams: int, frames: int, reps: int):
+def bench_4k(streams: int, frames: int, reps: int, gn: str = "auto"):
     """Config 4, honest chunked accounting: 8-DOF homography + phase-corr
     + Lanczos2 at 4K, state carried across chunks, one warped output per
-    input frame at steady state (same methodology as bench.py)."""
+    input frame at steady state (same methodology as bench.py). --gn
+    selects the GN backend (auto = 8-DOF Pallas in-VMEM kernel at
+    fit-in-VMEM levels on real TPU — the round-4 fusion-soup lever)."""
     import jax
     import jax.numpy as jnp
 
@@ -41,7 +47,7 @@ def bench_4k(streams: int, frames: int, reps: int):
 
     h, w = 2160, 3840
     params = StabilizerParams(
-        aligner=AlignerParams(phase_correlate=True),
+        aligner=AlignerParams(phase_correlate=True, gn_kernel=gn),
         output_interp="lanczos2", crop_pixels=32)
     clip = synth_shaky_clip(frames, h, w, seed=5, jitter_px=1.0,
                             pan_px_per_frame=0.3)
@@ -76,7 +82,8 @@ def bench_4k(streams: int, frames: int, reps: int):
     best = min(times)
     n = streams * frames
     return {
-        "metric": f"stabilized_4k_bgr_homography_lanczos2_fps_{streams}streams_chunked",
+        "metric": f"stabilized_4k_bgr_homography_lanczos2_fps_"
+                  f"{streams}streams_chunked_gn-{gn}",
         "value": round(n / best, 2),
         "unit": "frames/sec",
         "note": f"chunked steady state, 1 warped output per input frame, "
@@ -194,15 +201,98 @@ def bench_latency_chunk2(reps: int, chain: int, gn: str = "auto",
     }
 
 
+def bench_latency_request(samples: int, gn: str = "auto"):
+    """TRUE single-request latency (round-3 verdict item 2): the wall time
+    of ONE 2-frame-chunk submit->result, no chaining — what a live caller
+    experiences per call. The chained `latency-chunk2` number amortizes
+    per-call dispatch + tunnel RTT over 32 programs; this mode measures the
+    unamortized call, and separately reports (a) a dispatch-RTT floor (p50
+    of a trivial scalar device call, which on a tunneled chip is pure
+    overhead a co-located caller would not pay) and (b) the same call with
+    the full stabilized frame fetched to host. Reference contract: the
+    synchronous frame-in -> frame-out processFrame loop
+    (stabilizer.cpp:9-112)."""
+    import jax
+    import jax.numpy as jnp
+
+    from video_stabilizer_tpu.config import AlignerParams, StabilizerParams
+    from video_stabilizer_tpu.models.chunked import (
+        _stabilize_chunk_jit, init_stream_state)
+    from video_stabilizer_tpu.utils.io import synth_shaky_clip
+
+    h, w = 1080, 1920
+    params = StabilizerParams(crop_pixels=32,
+                              aligner=AlignerParams(gn_kernel=gn))
+    clip = synth_shaky_clip(64, h, w, seed=6, jitter_px=1.0)
+    state = init_stream_state(w, h, params)
+
+    t0 = time.time()
+    for k in range(8):                       # compile + fill the lag window
+        state, out, meas, ok, valid = _stabilize_chunk_jit(
+            state, jnp.asarray(clip[2 * k:2 * k + 2]), params, w, h)
+    jax.block_until_ready(out)
+    print(f"latency-request: warm-up {time.time()-t0:.1f}s", file=sys.stderr)
+
+    # Dispatch-RTT floor: a trivial scalar program, submit -> fetch.
+    f_add = jax.jit(lambda x: x + 1)
+    x = jnp.ones((), jnp.int32)
+    _ = int(f_add(x))
+    rtts = []
+    for _ in range(max(64, samples)):
+        t0 = time.time()
+        _ = int(f_add(x))
+        rtts.append((time.time() - t0) * 1e3)
+
+    # Device-resident inputs: the serve loop's H2D is pipelined in real
+    # deployments; it is measured separately by the frame-fetch row.
+    chunks = [jax.device_put(jnp.asarray(clip[2 * k:2 * k + 2]))
+              for k in range(16)]
+    lat_ready, lat_fetch = [], []
+    for i in range(samples):
+        ch = chunks[i % len(chunks)]
+        t0 = time.time()
+        state, out, meas, ok, valid = _stabilize_chunk_jit(
+            state, ch, params, w, h)
+        jax.block_until_ready(out)           # result computed, on device
+        t1 = time.time()
+        _ = np.asarray(out)                  # + full-frame D2H to host
+        t2 = time.time()
+        lat_ready.append((t1 - t0) * 1e3)
+        lat_fetch.append((t2 - t0) * 1e3)
+
+    def pct(v, q):
+        return round(float(np.percentile(v, q)), 3)
+
+    return {
+        "metric": f"single_request_latency_1080p_chunk2_gn-{gn}",
+        "value": pct(lat_ready, 50),
+        "unit": "ms/request (2 frames)",
+        "note": {
+            "p50_ms_submit_to_ready": pct(lat_ready, 50),
+            "p99_ms_submit_to_ready": pct(lat_ready, 99),
+            "p50_ms_incl_frame_fetch": pct(lat_fetch, 50),
+            "p99_ms_incl_frame_fetch": pct(lat_fetch, 99),
+            "p50_ms_dispatch_rtt_floor": pct(rtts, 50),
+            "samples": samples,
+            "comment": "ONE 2-frame chunk per timing (chain=1); the "
+                       "chained latency-chunk2 number is the amortized "
+                       "pipelined statistic — quote both",
+        },
+    }
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--mode",
-                    choices=["1080p", "4k", "latency", "latency-chunk2"],
+                    choices=["1080p", "4k", "latency", "latency-chunk2",
+                             "latency-request"],
                     default="latency")
     ap.add_argument("--streams", type=int, default=2)
     ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--chain", type=int, default=32)
+    ap.add_argument("--samples", type=int, default=100,
+                    help="latency-request: number of single-call timings")
     ap.add_argument("--gn", choices=["auto", "xla", "pallas"],
                     default="auto")
     ap.add_argument("--fixed-iters", type=int, default=None)
@@ -219,10 +309,12 @@ def main():
                                   os.path.join(os.path.dirname(__file__),
                                                "..", "bench.py")])
     elif args.mode == "4k":
-        result = bench_4k(args.streams, args.frames, args.reps)
+        result = bench_4k(args.streams, args.frames, args.reps, args.gn)
     elif args.mode == "latency-chunk2":
         result = bench_latency_chunk2(args.reps, args.chain, args.gn,
                                       args.merge_coarse)
+    elif args.mode == "latency-request":
+        result = bench_latency_request(args.samples, args.gn)
     else:
         result = bench_latency(args.reps, args.chain, args.gn,
                                args.fixed_iters, args.merge_coarse)

@@ -98,6 +98,50 @@ def test_sharded_chunked_matches_unsharded(clips8):
         assert np.mean(diff <= 1) > 0.995, (si, np.mean(diff <= 1))
 
 
+COLLECTIVE_HLO_OPS = ("all-reduce", "all-gather", "all-to-all",
+                      "collective-permute", "collective-broadcast",
+                      "reduce-scatter", "ragged-all-to-all")
+
+
+def test_sharded_chunk_program_has_zero_collectives(clips8):
+    """Structural pin of the zero-collective claim (SURVEY §2.5 comm-backend
+    row): the COMPILED sharded chunk program contains no collective HLO ops,
+    so per-stream independence holds by construction, not just statistically
+    on an 8-sample mesh. This is the guard check_vma=False forgoes
+    (parallel/mesh.py) — a future accidental cross-shard dependency would
+    surface here as an inserted collective."""
+    from video_stabilizer_tpu.parallel import init_sharded_stream_states
+    from video_stabilizer_tpu.parallel.mesh import (
+        STREAM_AXIS, _stabilize_chunk_streams_sharded_jit, shard_streams)
+
+    mesh = make_mesh()
+    params = StabilizerParams(lag=4, smoother_memory=2, crop_pixels=4)
+    states = init_sharded_stream_states(8, W, H, params, mesh)
+    frames = shard_streams(jax.numpy.asarray(clips8[:, :4]), mesh)
+    compiled = _stabilize_chunk_streams_sharded_jit.lower(
+        states, frames, params, W, H, "similarity", mesh,
+        STREAM_AXIS).compile()
+    hlo = compiled.as_text()
+    for op in COLLECTIVE_HLO_OPS:
+        assert op not in hlo, f"collective {op!r} in sharded chunk program"
+
+
+def test_sharded_clip_program_has_zero_collectives(clips8):
+    """Same structural pin for the GSPMD-partitioned batch path: the
+    partitioner must not insert any cross-device communication."""
+    from video_stabilizer_tpu.parallel.mesh import (
+        STREAM_AXIS, _stabilize_sharded_jit, shard_streams)
+
+    mesh = make_mesh()
+    params = StabilizerParams(crop_pixels=4)
+    frames = shard_streams(jax.numpy.asarray(clips8), mesh)
+    compiled = _stabilize_sharded_jit.lower(
+        frames, params, W, H, mesh, STREAM_AXIS).compile()
+    hlo = compiled.as_text()
+    for op in COLLECTIVE_HLO_OPS:
+        assert op not in hlo, f"collective {op!r} in sharded clip program"
+
+
 def test_multihost_recipe_single_process():
     """The multi-host ingest recipe degenerates correctly to one process on
     the virtual 8-device mesh: global batch assembly from 'local' streams,

@@ -117,6 +117,54 @@ def test_pyr_down_on_tpu():
     assert np.abs(got.astype(np.float64) - oracle).max() <= 1.0
 
 
+def test_pallas_gn_on_tpu():
+    """The 4-DOF in-VMEM GN kernel (ops/pallas_gn.gn_solve_pallas)
+    Mosaic-compiled on the real chip vs the XLA while_loop.
+    test_pallas_gn.py pins the numerics in interpreter mode; this pins the
+    Mosaic compile + layout contract (incl. the vmapped batching rule used
+    by the clip pipeline)."""
+    from video_stabilizer_tpu.config import AlignerParams
+    from video_stabilizer_tpu.models.batch import align_clip
+    from video_stabilizer_tpu.utils.io import synth_shaky_clip
+
+    frames = synth_shaky_clip(6, 96, 128, seed=71, jitter_px=0.8,
+                              pan_px_per_frame=0.3, color=False)
+    m_x, ok_x = align_clip(frames, AlignerParams(gn_kernel="xla"))
+    m_p, ok_p = align_clip(frames, AlignerParams(gn_kernel="pallas"))
+    np.testing.assert_array_equal(np.asarray(ok_x), np.asarray(ok_p))
+    m_x, m_p = np.asarray(m_x), np.asarray(m_p)
+    np.testing.assert_allclose(m_p[:, :2], m_x[:, :2], atol=3e-4)
+    np.testing.assert_allclose(m_p[:, 2:], m_x[:, 2:], atol=6e-2)
+
+
+def test_pallas_gn8_on_tpu():
+    """The 8-DOF homography GN kernel (ops/pallas_gn.gn8_solve_pallas)
+    Mosaic-compiled on the real chip vs the XLA loop — the round-4 4K
+    fusion-soup lever must hold its interpreter-mode numerics contract
+    (test_pallas_gn8.py) under the real Mosaic layout."""
+    from video_stabilizer_tpu import homography as Hm
+    from video_stabilizer_tpu.config import AlignerParams
+    from video_stabilizer_tpu.models.homography_aligner import (
+        align_clip_homography)
+    from video_stabilizer_tpu.utils.io import synth_shaky_clip
+
+    h, w = 120, 160
+    frames = synth_shaky_clip(6, h, w, seed=91, jitter_px=0.8,
+                              pan_px_per_frame=0.3, rot_jitter=0.002,
+                              color=False)
+    p_x, ok_x = align_clip_homography(frames, AlignerParams(gn_kernel="xla"))
+    p_p, ok_p = align_clip_homography(
+        frames, AlignerParams(gn_kernel="pallas"))
+    np.testing.assert_array_equal(np.asarray(ok_x), np.asarray(ok_p))
+    corners = jnp.asarray([[8.0, 8.0], [w - 9.0, 8.0], [8.0, h - 9.0],
+                           [w - 9.0, h - 9.0]], jnp.float32)
+    for t in range(frames.shape[0]):
+        a = np.asarray(Hm.warp_points(jnp.asarray(p_x[t]), corners, w, h))
+        b = np.asarray(Hm.warp_points(jnp.asarray(p_p[t]), corners, w, h))
+        err = np.max(np.hypot(*(a - b).T))
+        assert err < 0.08, (t, err)
+
+
 def test_align_pipeline_smoke_on_tpu():
     """End-to-end known-motion recovery through the jitted align program on
     the real chip (compile + numerics smoke for the whole kernel chain)."""

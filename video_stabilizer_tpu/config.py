@@ -12,6 +12,7 @@ without recompilation). Dynamic fields are marked in the comments.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Tuple
 
 
@@ -52,9 +53,14 @@ class AlignerParams:
     # levels back-to-back inside a single loop (per-level warpdiff /
     # selection / Hessian recomputed at level entry under lax.cond) cuts
     # the sequential program depth. 0 disables; values < 2 are no-ops.
-    # Requires selection="mask"; ignored when fixed_iters is set (that
-    # mode has no while_loops to merge). Numerics match the unmerged path
-    # to f32 reduction-order tolerance (test_merged_levels.py). [static]
+    # Composes ONLY with selection="mask", fixed_iters=None (that mode has
+    # no while_loops to merge) and gn_kernel in ("auto", "xla") — an
+    # explicitly forced gn_kernel="pallas" runs every level in the Pallas
+    # kernel, which has no merged form. Invalid combinations raise at
+    # construction instead of silently ignoring the merge (the merged path
+    # is a latency win the caller asked for). Numerics match the unmerged
+    # path to f32 reduction-order tolerance (test_merged_levels.py).
+    # [static]
     merge_coarse: int = 0
 
     # Pyramid stops when the next level would be smaller than this.
@@ -100,6 +106,51 @@ class AlignerParams:
     # coarse init — use window_margin_fine to cut window memory/compute.
     window_margin: int = 12
     window_margin_fine: int = 6
+
+    # Window-size floor (as-if-bf16 bytes) above which gn_kernel="auto"
+    # runs a level's GN loop in the Pallas in-VMEM kernel on real TPU
+    # backends; below it the XLA while_loop's cross-stream fusion wins
+    # (measured, docs/ROADMAP.md). None (default) resolves ONCE at
+    # construction from the VIDSTAB_GN_MIN_BYTES env var (default 2 MB) —
+    # the resolved value is part of this static jit key, so later env
+    # changes never silently diverge from cached compiles. [static]
+    gn_min_bytes: int | None = None
+
+    def __post_init__(self):
+        if self.selection not in ("mask", "topk"):
+            raise ValueError(f"selection must be 'mask' or 'topk', got "
+                             f"{self.selection!r}")
+        if self.gn_kernel not in ("auto", "pallas", "xla"):
+            raise ValueError(f"gn_kernel must be 'auto', 'pallas' or 'xla',"
+                             f" got {self.gn_kernel!r}")
+        if self.merge_coarse >= 2:
+            # The merged coarse-level loop only exists for the
+            # mask-selection while_loop path; refuse combinations that
+            # would silently fall back to the unmerged program.
+            if self.selection != "mask":
+                raise ValueError(
+                    "merge_coarse >= 2 requires selection='mask' (the "
+                    "merged loop's in-loop selection is histogram "
+                    f"masking); got selection={self.selection!r}")
+            if self.fixed_iters is not None:
+                raise ValueError(
+                    "merge_coarse >= 2 is incompatible with fixed_iters "
+                    "(the fixed-iteration mode has no while_loops to "
+                    "merge)")
+            if self.gn_kernel == "pallas":
+                raise ValueError(
+                    "merge_coarse >= 2 is incompatible with "
+                    "gn_kernel='pallas' (the Pallas in-VMEM kernel has no "
+                    "merged multi-level form); use 'auto' or 'xla'")
+        if self.gn_min_bytes is None:
+            raw = os.environ.get("VIDSTAB_GN_MIN_BYTES",
+                                 str(2 * 1024 * 1024))
+            try:
+                resolved = int(raw)
+            except ValueError:
+                raise ValueError(
+                    f"VIDSTAB_GN_MIN_BYTES must be an int, got {raw!r}")
+            object.__setattr__(self, "gn_min_bytes", resolved)
 
 
 @dataclasses.dataclass(frozen=True)

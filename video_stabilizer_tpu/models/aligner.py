@@ -253,22 +253,18 @@ def _gn_level_uses_pallas(params: AlignerParams, p: int, n: int) -> bool:
     The kernel wins where the XLA loop is HBM-bound (big windows re-read
     per iteration); at the small coarse levels the XLA loop's cross-stream
     fusion wins, so "auto" applies the kernel only above a size floor
-    (VIDSTAB_GN_MIN_BYTES, default 2 MB — L0/L1 at 1080p). Sizes are
-    counted as-if-bf16 (the kernel's VMEM operand dtype), independent of
-    the HBM storage dtype."""
-    import os
-
-    from video_stabilizer_tpu.ops.pallas_gn import MAX_WINDOW_BYTES
+    (AlignerParams.gn_min_bytes, default 2 MB — L0/L1 at 1080p). The floor
+    is counted as-if-bf16; whether a level FITS uses the kernel's actual
+    VMEM operand dtype (bf16, or u8 for levels like 4K L0 where only the
+    half-size u8 form fits — pallas_gn.pallas_window_vmem_dtype)."""
+    from video_stabilizer_tpu.ops.pallas_gn import pallas_window_vmem_dtype
 
     if params.gn_kernel == "xla" or params.fixed_iters is not None:
         return False
-    nbytes = p * p * n * 2
-    fits = nbytes <= MAX_WINDOW_BYTES
+    fits = pallas_window_vmem_dtype(p, n) is not None
     if params.gn_kernel == "pallas":
         return fits
-    min_bytes = int(os.environ.get("VIDSTAB_GN_MIN_BYTES",
-                                   str(2 * 1024 * 1024)))
-    return (fits and nbytes >= min_bytes
+    return (fits and p * p * n * 2 >= params.gn_min_bytes
             and jax.default_backend() == "tpu")
 
 
@@ -277,14 +273,18 @@ def _use_pallas_gn(params: AlignerParams, windows) -> bool:
 
 
 def _window_store_dtype(params: AlignerParams, spec: LevelSpec):
-    """HBM storage dtype of a level's sampling windows: bf16 where the
-    Pallas GN kernel DMAs them straight into VMEM, u8 everywhere else (u8
+    """HBM storage dtype of a level's sampling windows: the Pallas GN
+    kernel's VMEM operand dtype where that kernel consumes the level (bf16,
+    or u8 for levels that only fit VMEM as u8), u8 everywhere else (u8
     values are exact; ``sample_windows_flat`` upcasts in-register, so the
     XLA loop's bf16 products are bit-identical at half the HBM traffic)."""
+    from video_stabilizer_tpu.ops.pallas_gn import pallas_window_vmem_dtype
+
     p = window_size(spec.tile, spec.margin)
-    return (jnp.bfloat16
-            if _gn_level_uses_pallas(params, p, spec.ht * spec.wt)
-            else jnp.uint8)
+    n = spec.ht * spec.wt
+    if _gn_level_uses_pallas(params, p, n):
+        return pallas_window_vmem_dtype(p, n)
+    return jnp.uint8
 
 
 def _align_level(spec: LevelSpec, key: LevelKeyData, template_img,
@@ -346,12 +346,14 @@ def _align_level(spec: LevelSpec, key: LevelKeyData, template_img,
     # semantics; falls back to the XLA loop off-TPU ("auto") or when the
     # level's windows exceed the VMEM budget.
     if _use_pallas_gn(params, key.windows):
-        from video_stabilizer_tpu.ops.pallas_gn import gn_solve_pallas
+        from video_stabilizer_tpu.ops.pallas_gn import (
+            gn_solve_pallas, pallas_window_vmem_dtype)
 
+        vmem_dtype = pallas_window_vmem_dtype(p, n)
         corners_static = ((0.0, 0.0), (w - 1.0, 0.0), (0.0, h - 1.0),
                           (w - 1.0, h - 1.0))
         t_final, converged, disp01, iters = gn_solve_pallas(
-            key.windows.astype(jnp.bfloat16), tmpl, jac_masked, Hinv,
+            key.windows.astype(vmem_dtype), tmpl, jac_masked, Hinv,
             fx, fy, ox, oy,
             transform.astype(jnp.float32), dyn.threshold,
             width=w, height=h, max_iters=params.max_iters,
@@ -404,11 +406,11 @@ def _align_level(spec: LevelSpec, key: LevelKeyData, template_img,
     chunk = gn_chunk_for(p, n)
 
     def gn_cond(carry):
-        _, _, it, converged = carry
+        _, _, it, _, converged = carry
         return jnp.logical_and(jnp.logical_not(converged), it < params.max_iters)
 
     def gn_body(carry):
-        t, prev_corners, it, conv = carry
+        t, prev_corners, it, it_true, conv = carry
         for j in range(chunk):
             b = ica_rhs(t)
             dt = Hinv @ b
@@ -424,11 +426,16 @@ def _align_level(spec: LevelSpec, key: LevelKeyData, template_img,
             prev_corners = jnp.where(do, new_corners, prev_corners)
             conv = jnp.logical_or(
                 conv, jnp.logical_and(do, disp12 < dyn.threshold))
-        return (t, prev_corners, it + chunk, conv)
+            # True executed-iteration count: the chunk counter `it` rounds
+            # up to the unroll width, but `iters` must mean the same thing
+            # on every backend (the Pallas kernel counts exactly).
+            it_true = it_true + do.astype(jnp.int32)
+        return (t, prev_corners, it + chunk, it_true, conv)
 
-    t_final, corners1, iters, converged = jax.lax.while_loop(
+    t_final, corners1, _, iters, converged = jax.lax.while_loop(
         gn_cond, gn_body,
-        (transform, corners0, jnp.zeros((), jnp.int32), jnp.zeros((), bool)))
+        (transform, corners0, jnp.zeros((), jnp.int32),
+         jnp.zeros((), jnp.int32), jnp.zeros((), bool)))
 
     # Failure 1: max_iters without convergence (alignment.cpp:661-667).
     # Failure 2: total level displacement > max_displacement (670-677).

@@ -32,6 +32,7 @@ from video_stabilizer_tpu.config import (
 from video_stabilizer_tpu.models.aligner import (
     LevelSpec,
     PHASE_LEVEL,
+    _gn_level_uses_pallas,
     _selection_mask,
     gn_chunk_for,
     level_specs,
@@ -63,7 +64,10 @@ class LevelKeyDataH(NamedTuple):
     idx_y: jnp.ndarray
     coords: jnp.ndarray   # (2 xy, 2 sets, N) float32 pixel coordinates
     jac: jnp.ndarray      # (8, 2 sets, N)
-    windows: jnp.ndarray  # (P, P, N) u8 (exact; upcast in-register at use)
+    windows: jnp.ndarray  # (P, P, N) u8, or bf16 where the level's GN loop
+    #                       runs in the Pallas kernel (values exact either
+    #                       way — same storage policy as the 4-DOF
+    #                       aligner._window_store_dtype)
 
 
 def _compute_keyframe_h(key_imgs, specs, params):
@@ -94,7 +98,15 @@ def _compute_keyframe_h(key_imgs, specs, params):
         jac = (sel * g[..., None]).transpose(2, 0, 1)   # (8, 2, N)
 
         coords = jnp.stack([fx, fy])                    # (2 xy, 2 sets, N)
-        windows = extract_tile_windows_flat(img, s.tile, s.margin)
+        psize = s.tile + 2 * s.margin
+        if _gn_level_uses_pallas(params, psize, n):
+            from video_stabilizer_tpu.ops.pallas_gn import (
+                pallas_window_vmem_dtype)
+            win_dtype = pallas_window_vmem_dtype(psize, n)
+        else:
+            win_dtype = jnp.uint8
+        windows = extract_tile_windows_flat(img, s.tile, s.margin,
+                                            out_dtype=win_dtype)
         out.append(LevelKeyDataH(idx_x, idx_y, coords, jac.astype(dtype),
                                  windows))
     return tuple(out)
@@ -136,6 +148,29 @@ def _align_level_h(spec: LevelSpec, key: LevelKeyDataH, template_img,
     jac_masked = jac * mask
 
     w_l, h_l = float(spec.width), float(spec.height)
+
+    # Pallas in-VMEM GN path (ops/pallas_gn.gn8_solve_pallas): the whole
+    # 8-DOF while_loop in one kernel — removes both the per-level fusion
+    # soup (the round-3 4K profile's 24.5% leaf-time cluster) and the
+    # per-iteration HBM window re-reads. Same math, same failure semantics;
+    # selection policy shared with the 4-DOF path (_gn_level_uses_pallas).
+    if _gn_level_uses_pallas(params, psize, n):
+        from video_stabilizer_tpu.ops.pallas_gn import (
+            gn8_solve_pallas, pallas_window_vmem_dtype)
+
+        u = (fx - w_l * 0.5) / w_l                      # (2, N) normalized
+        v = (fy - h_l * 0.5) / w_l
+        p_fin, conv, disp01, _ = gn8_solve_pallas(
+            key.windows.astype(pallas_window_vmem_dtype(psize, n)),
+            tmpl, jac_masked, Hinv,
+            u, v, ox, oy, p_in.astype(jnp.float32), dyn.threshold,
+            width=spec.width, height=spec.height, max_iters=params.max_iters)
+        p_fin = p_fin.astype(dtype)
+        failed = jnp.logical_or(
+            jnp.logical_not(conv),
+            disp01.astype(dtype) > dyn.max_displacement)
+        return p_fin, failed
+
     corners = jnp.asarray([[0.0, 0.0], [w_l - 1, 0.0], [0.0, h_l - 1],
                            [w_l - 1, h_l - 1]], dtype)
     corners0 = Hm.warp_points(p_in, corners, w_l, h_l)

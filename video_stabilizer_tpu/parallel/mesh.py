@@ -51,12 +51,23 @@ def shard_streams(batch, mesh: Mesh, axis_name: str = STREAM_AXIS):
 @functools.partial(jax.jit, static_argnames=("params", "width", "height",
                                              "mesh", "axis_name"))
 def _stabilize_sharded_jit(frames, params, width, height, mesh, axis_name):
-    spec_in = P(axis_name, None, None, None, None)
-    frames = jax.lax.with_sharding_constraint(
-        frames, NamedSharding(mesh, spec_in))
-    out, meas, ok = jax.vmap(
-        lambda f: stabilize_clip_impl(f, params, width, height))(frames)
-    return out, meas, ok
+    # shard_map (not GSPMD vmap partitioning): under GSPMD, the vmapped GN
+    # while_loops' batched conditions lower to scalar pred all-reduces —
+    # every device then iterates until the globally slowest stream
+    # converges (4 cross-device sync points per program, found by the
+    # zero-collective HLO pin, tests/test_sharding.py). shard_map runs each
+    # device's local streams as an independent program: local loop
+    # conditions, zero collectives by construction. check_vma=False for the
+    # same reason as the chunked path below (while_loop carries initialized
+    # from replicated constants).
+    def local(f):
+        return jax.vmap(
+            lambda f_: stabilize_clip_impl(f_, params, width, height))(f)
+
+    spec = P(axis_name)
+    return jax.shard_map(local, mesh=mesh, in_specs=(spec,),
+                         out_specs=(spec, spec, spec),
+                         check_vma=False)(frames)
 
 
 def stabilize_streams_sharded(frames_bgr, mesh: Mesh,

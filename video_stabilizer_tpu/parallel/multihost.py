@@ -37,6 +37,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from video_stabilizer_tpu.parallel.mesh import STREAM_AXIS, make_mesh
 
 
+# Set after a successful jax.distributed.initialize() by THIS module:
+# double-initialization must be detected without a backend-initializing
+# query (jax.process_count() would bring up the backend too early) and
+# without parsing exception text (brittle across JAX versions — advisor
+# round-3 finding).
+_initialized = False
+
+
 def initialize_multihost(coordinator_address: str | None = None,
                          num_processes: int | None = None,
                          process_id: int | None = None) -> None:
@@ -45,21 +53,20 @@ def initialize_multihost(coordinator_address: str | None = None,
 
     Must run before ANY backend-initializing jax call — including
     jax.process_count(), which is why the no-coordinator check comes first
-    and double-initialization is handled by catching the initialize()
-    error rather than querying process_count() (found by the two-process
-    smoke test, apps/multihost_smoke.py)."""
+    and idempotence is tracked with a module flag rather than by querying
+    process_count() (found by the two-process smoke test,
+    apps/multihost_smoke.py)."""
     import os
 
+    global _initialized
     if coordinator_address is None and "JAX_COORDINATOR_ADDRESS" not in os.environ:
         return  # single-process
-    try:
-        jax.distributed.initialize(coordinator_address=coordinator_address,
-                                   num_processes=num_processes,
-                                   process_id=process_id)
-    except RuntimeError as e:
-        if "already" in str(e) or "once" in str(e):
-            return  # idempotent: a second call is a no-op
-        raise
+    if _initialized:
+        return  # idempotent: a second call is a no-op
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    _initialized = True
 
 
 def local_stream_slice(total_streams: int) -> slice:
