@@ -87,9 +87,13 @@ def test_u8_vmem_windows_bit_identical():
     out_u = gn8_solve_pallas(wins_u8, **kwargs)
     for a, b in zip(jax.tree.leaves(out_b), jax.tree.leaves(out_u)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    # Policy: a level too big for bf16 but fitting as u8 selects u8.
-    big_n = (18 * 1024 * 1024) // (32 * 32 * 2)     # bf16 > 16MB, u8 < 16MB
-    assert pallas_window_vmem_dtype(32, big_n) == jnp.uint8
+    # Policy: a level too big for bf16 but fitting as u8 selects u8 — the
+    # 4K L0 shape (P=32, N=20736: 40.5 MB bf16 / 20.2 MB u8) is the level
+    # this path exists for and must stay inside the derived cap.
+    from video_stabilizer_tpu.ops.pallas_gn import MAX_WINDOW_BYTES
+    assert 32 * 32 * 20736 <= MAX_WINDOW_BYTES          # 4K L0 as u8 fits
+    assert 32 * 32 * 20736 * 2 > MAX_WINDOW_BYTES       # ... and bf16 doesn't
+    assert pallas_window_vmem_dtype(32, 20736) == jnp.uint8
     assert pallas_window_vmem_dtype(32, 1024) == jnp.bfloat16
     assert pallas_window_vmem_dtype(64, 10 ** 6) is None
 

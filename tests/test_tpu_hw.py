@@ -165,6 +165,41 @@ def test_pallas_gn8_on_tpu():
         assert err < 0.08, (t, err)
 
 
+def test_pallas_gn8_near_vmem_cap():
+    """Mosaic compile + run of the 8-DOF GN kernel at the EXACT 4K L0
+    window shape (P=32, N=20736 -> 20.2 MB u8, just under the derived
+    MAX_WINDOW_BYTES cap) — validates the VMEM_BUDGET_BYTES request on
+    hardware rather than assuming it (advisor round-3 finding). Compares
+    a few iterations against interpreter mode on the same inputs."""
+    from video_stabilizer_tpu.ops.pallas_gn import (
+        MAX_WINDOW_BYTES, gn8_solve_pallas, pallas_window_vmem_dtype)
+
+    p, n = 32, 20736
+    assert pallas_window_vmem_dtype(p, n) == jnp.uint8
+    assert p * p * n <= MAX_WINDOW_BYTES
+
+    r = np.random.default_rng(13)
+    wins = jnp.asarray(r.integers(0, 256, (p, p, n)), jnp.uint8)
+    tmpl = jnp.asarray(r.uniform(0, 255, (2, n)), jnp.float32)
+    jacm = jnp.asarray(r.normal(0, 1, (8, 2, n)), jnp.float32)
+    hinv = jnp.asarray(np.eye(8) * 1e-5, jnp.float32)
+    u = jnp.asarray(r.uniform(-0.5, 0.5, (2, n)), jnp.float32)
+    v = jnp.asarray(r.uniform(-0.28, 0.28, (2, n)), jnp.float32)
+    ox = jnp.asarray(r.uniform(0, 16, (n,)), jnp.float32)
+    oy = jnp.asarray(r.uniform(0, 16, (n,)), jnp.float32)
+    p0 = jnp.zeros((8,), jnp.float32)
+    kwargs = dict(tmpl=tmpl, jac_masked=jacm, hinv=hinv, u=u, v=v,
+                  ox=ox, oy=oy, p_init=p0,
+                  threshold=jnp.float32(1e-6),   # never converges -> 2 iters
+                  width=3840, height=2160, max_iters=2)
+    got = gn8_solve_pallas(wins, **kwargs, interpret=False)
+    ref = gn8_solve_pallas(wins, **kwargs, interpret=True)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                               atol=1e-5)
+    assert bool(got[1]) == bool(ref[1])
+    assert int(got[3]) == int(ref[3]) == 2
+
+
 def test_align_pipeline_smoke_on_tpu():
     """End-to-end known-motion recovery through the jitted align program on
     the real chip (compile + numerics smoke for the whole kernel chain)."""
