@@ -122,19 +122,40 @@ def test_pallas_gn_on_tpu():
     Mosaic-compiled on the real chip vs the XLA while_loop.
     test_pallas_gn.py pins the numerics in interpreter mode; this pins the
     Mosaic compile + layout contract (incl. the vmapped batching rule used
-    by the clip pipeline)."""
+    by the clip pipeline).
+
+    Tolerance design (docs/TPU_HW_RUN.md section 3b): Mosaic keeps bf16
+    chains in f32 registers where interpret/XLA round each op, so the two
+    backends' GN trajectories differ at bf16-rounding scale per iteration.
+    On borderline frames that can legitimately flip the converged-within-
+    max_iters flag, and a flipped frame's trajectories genuinely separate
+    — so the contract is: at most one flag flip per 6-frame clip, and
+    co-converged frames agree to measured HW tolerance (max corner error
+    0.027 px recorded on this fixture)."""
+    from video_stabilizer_tpu import transforms as T
     from video_stabilizer_tpu.config import AlignerParams
     from video_stabilizer_tpu.models.batch import align_clip
     from video_stabilizer_tpu.utils.io import synth_shaky_clip
 
-    frames = synth_shaky_clip(6, 96, 128, seed=71, jitter_px=0.8,
+    h, w = 96, 128
+    frames = synth_shaky_clip(6, h, w, seed=71, jitter_px=0.8,
                               pan_px_per_frame=0.3, color=False)
     m_x, ok_x = align_clip(frames, AlignerParams(gn_kernel="xla"))
     m_p, ok_p = align_clip(frames, AlignerParams(gn_kernel="pallas"))
-    np.testing.assert_array_equal(np.asarray(ok_x), np.asarray(ok_p))
-    m_x, m_p = np.asarray(m_x), np.asarray(m_p)
-    np.testing.assert_allclose(m_p[:, :2], m_x[:, :2], atol=3e-4)
-    np.testing.assert_allclose(m_p[:, 2:], m_x[:, 2:], atol=6e-2)
+    ok_x, ok_p = np.asarray(ok_x), np.asarray(ok_p)
+    flips = int(np.sum(ok_x != ok_p))
+    assert flips <= 1, (ok_x, ok_p)
+    corners = jnp.asarray([[8.0, 8.0], [w - 9.0, 8.0], [8.0, h - 9.0],
+                           [w - 9.0, h - 9.0]], jnp.float32)
+    both = ok_x & ok_p
+    assert int(both.sum()) >= 4, (ok_x, ok_p)
+    for t in np.nonzero(both)[0]:
+        a = np.asarray(T.warp_points_center(
+            jnp.asarray(m_x[t]), corners, w * 0.5, h * 0.5))
+        b = np.asarray(T.warp_points_center(
+            jnp.asarray(m_p[t]), corners, w * 0.5, h * 0.5))
+        err = np.linalg.norm(a - b, axis=-1).max()
+        assert err < 0.1, (int(t), err)
 
 
 def test_pallas_gn8_on_tpu():
@@ -155,22 +176,38 @@ def test_pallas_gn8_on_tpu():
     p_x, ok_x = align_clip_homography(frames, AlignerParams(gn_kernel="xla"))
     p_p, ok_p = align_clip_homography(
         frames, AlignerParams(gn_kernel="pallas"))
-    np.testing.assert_array_equal(np.asarray(ok_x), np.asarray(ok_p))
+    # Same flag/tolerance design as test_pallas_gn_on_tpu (see its
+    # docstring + docs/TPU_HW_RUN.md section 3b): on this fixture's one
+    # borderline frame (frame 5) XLA hits max_iters while Mosaic's
+    # f32-register bf16 chains converge; co-converged corner errors
+    # measured at 0.015-0.040 px on HW.
+    ok_x, ok_p = np.asarray(ok_x), np.asarray(ok_p)
+    flips = int(np.sum(ok_x != ok_p))
+    assert flips <= 1, (ok_x, ok_p)
+    both = ok_x & ok_p
+    assert int(both.sum()) >= 4, (ok_x, ok_p)
     corners = jnp.asarray([[8.0, 8.0], [w - 9.0, 8.0], [8.0, h - 9.0],
                            [w - 9.0, h - 9.0]], jnp.float32)
-    for t in range(frames.shape[0]):
+    for t in np.nonzero(both)[0]:
         a = np.asarray(Hm.warp_points(jnp.asarray(p_x[t]), corners, w, h))
         b = np.asarray(Hm.warp_points(jnp.asarray(p_p[t]), corners, w, h))
         err = np.max(np.hypot(*(a - b).T))
-        assert err < 0.08, (t, err)
+        assert err < 0.08, (int(t), err)
 
 
 def test_pallas_gn8_near_vmem_cap():
     """Mosaic compile + run of the 8-DOF GN kernel at the EXACT 4K L0
     window shape (P=32, N=20736 -> 20.2 MB u8, just under the derived
     MAX_WINDOW_BYTES cap) — validates the VMEM_BUDGET_BYTES request on
-    hardware rather than assuming it (advisor round-3 finding). Compares
-    a few iterations against interpreter mode on the same inputs."""
+    hardware rather than assuming it (advisor round-3 finding).
+
+    One GN iteration only: random-noise windows make the sampled gradient
+    field chaotic, so interpret-vs-Mosaic trajectories separate at ~77x
+    per iteration (docs/TPU_HW_RUN.md section 3b — measured 1.9e-4 after
+    1 iter, 1.5e-2 after 2 on this exact fixture). The single-iteration
+    comparison at 10x the measured bf16-chain difference pins the compile,
+    the VMEM fit, and the u8 tap math without asserting that two different
+    rounding schedules track a chaotic trajectory."""
     from video_stabilizer_tpu.ops.pallas_gn import (
         MAX_WINDOW_BYTES, gn8_solve_pallas, pallas_window_vmem_dtype)
 
@@ -190,14 +227,14 @@ def test_pallas_gn8_near_vmem_cap():
     p0 = jnp.zeros((8,), jnp.float32)
     kwargs = dict(tmpl=tmpl, jac_masked=jacm, hinv=hinv, u=u, v=v,
                   ox=ox, oy=oy, p_init=p0,
-                  threshold=jnp.float32(1e-6),   # never converges -> 2 iters
-                  width=3840, height=2160, max_iters=2)
+                  threshold=jnp.float32(1e-6),   # never converges -> 1 iter
+                  width=3840, height=2160, max_iters=1)
     got = gn8_solve_pallas(wins, **kwargs, interpret=False)
     ref = gn8_solve_pallas(wins, **kwargs, interpret=True)
     np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
-                               atol=1e-5)
+                               atol=2e-3)
     assert bool(got[1]) == bool(ref[1])
-    assert int(got[3]) == int(ref[3]) == 2
+    assert int(got[3]) == int(ref[3]) == 1
 
 
 def test_align_pipeline_smoke_on_tpu():

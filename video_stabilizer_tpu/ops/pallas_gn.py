@@ -113,7 +113,9 @@ def _tap_sample(win_ref, rel_xs, rel_ys, p, n):
     def tap_row(iy, accs):
         row = win_ref[iy]                           # (P, N) bf16 or u8
         if row.dtype != jnp.bfloat16:
-            row = row.astype(jnp.bfloat16)          # exact for u8 values
+            # Mosaic rejects the direct u8 -> bf16 cast: hop through int32
+            # (exact for pixel values <= 255, same trick as pallas_warp).
+            row = row.astype(jnp.int32).astype(jnp.bfloat16)
         iyf = iy.astype(f32)
         new = []
         for s in range(2):
@@ -170,7 +172,7 @@ def _gn_kernel(thr_ref, t0_ref, hinv_ref, win_ref, tmpl_ref, jacm_ref,
             # are built directly at rank 3 via broadcasted_iota.
             win = win_ref[:]                              # (P, P, N)
             if win.dtype != jnp.bfloat16:
-                win = win.astype(jnp.bfloat16)            # exact for u8
+                win = win.astype(jnp.int32).astype(jnp.bfloat16)  # u8 hop
             taps_y3 = jax.lax.broadcasted_iota(
                 jnp.int32, (p, 1, n), 0).astype(f32)
             taps_x3 = jax.lax.broadcasted_iota(

@@ -199,22 +199,20 @@ def _warp_kernel(t_ref, img_ref, out_ref, scratch, shifted, sem, *,
 
     cp_wait.wait()
 
-    # Column-remainder shift as a one-hot band matmul (MXU), ONCE for the
-    # whole block: S[j, u] = 1 iff scratch column j holds true column
-    # x0 + kx - xt + u, i.e. j == u + qx. u8-derived values are exact in
-    # bf16, so the shifted store stays bit-exact.
-    j_iota = jax.lax.broadcasted_iota(jnp.int32, (blk_w, tws), 0)
-    u_iota = jax.lax.broadcasted_iota(jnp.int32, (blk_w, tws), 1)
-    sh_mat = (j_iota == u_iota + qx).astype(jnp.bfloat16)
-    # 2-D operands only (3-D dot_general crashes the Mosaic compiler);
-    # merging (c, blk_h) into sublanes keeps the minor dim untouched.
-    blk_bf16 = (scratch[slot].astype(jnp.int32).astype(jnp.bfloat16)
-                .reshape(c * blk_h, blk_w))
-    shifted[...] = jax.lax.dot_general(
-        blk_bf16, sh_mat,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=f32).astype(jnp.bfloat16).reshape(
-            c, blk_h, tws)
+    # Column-remainder shift as ONE dynamic lane rotate for the whole
+    # block: shifted[u] must hold scratch column u + qx (true column
+    # x0 + kx - xt + u). pltpu.roll right-rolls by a (possibly traced)
+    # amount, so a left shift by qx is a right roll by blk_w - qx:
+    # rolled[x] = blk[(x + qx) mod blk_w], and x + qx < tws + 128 <= blk_w
+    # for every stored column, so no wrapped lane is ever read. u8-derived
+    # values are exact in bf16, so the shifted store stays bit-exact.
+    # (This replaced a dense (c*blk_h, blk_w) x (blk_w, tws) one-hot
+    # matmul — ~0.58 GFLOP of MXU work per tile just to move lanes;
+    # tpu.dynamic_rotate does it for free on the VPU.)
+    # tpu.dynamic_rotate is 32-bit only: rotate as i32, then narrow.
+    blk_i32 = scratch[slot].astype(jnp.int32)
+    rolled = pltpu.roll(blk_i32, blk_w - qx, 2)
+    shifted[...] = rolled[:, :, :tws].astype(jnp.bfloat16)
 
     # Row remainder: VMEM sublane offsets must ALSO be 8-aligned, so qy
     # cannot go into the slice start; it shifts the residual instead and
