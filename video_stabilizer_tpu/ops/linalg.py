@@ -106,12 +106,44 @@ def eigh_sym(A, sweeps: int = 6):
     return jnp.diagonal(A), V
 
 
+def _rot_rows(M, p, q, c, s):
+    """Givens ROW rotation without dynamic-update-slice: rebuild the n rows
+    as one stack (rows p/q get the exact two-term updates, the rest copy
+    through). Arithmetic is expression-identical to the `.at[p].set(...)`
+    form it replaces — only the in-place writes go; the 4x4 cyclic
+    unroll's ~400 tiny DUS ops per call were ~7% of the 1080p chunk
+    program (apps/profile_chunk.py --by-source, linalg.py rows)."""
+    rows = []
+    for i in range(M.shape[-2]):
+        if i == p:
+            rows.append(c * M[p, :] + s * M[q, :])
+        elif i == q:
+            rows.append(-s * M[p, :] + c * M[q, :])
+        else:
+            rows.append(M[i, :])
+    return jnp.stack(rows)
+
+
+def _rot_cols(M, p, q, c, s):
+    """Givens COLUMN rotation, same DUS-free construction as _rot_rows."""
+    cols = []
+    for j in range(M.shape[-1]):
+        if j == p:
+            cols.append(c * M[:, p] + s * M[:, q])
+        elif j == q:
+            cols.append(-s * M[:, p] + c * M[:, q])
+        else:
+            cols.append(M[:, j])
+    return jnp.stack(cols, axis=-1)
+
+
 def _eigh_sym_cyclic(A, sweeps: int = 6):
     """Sequential cyclic-Jacobi reference ordering (golden-trace-exact).
 
-    Kept verbatim for n == 4: the measurement golden trace pins the
-    similarity GN trajectory through this exact rotation order, and the
-    36-rotation unroll is cheap at that size.
+    Kept for n == 4: the measurement golden trace pins the similarity GN
+    trajectory through this exact rotation order. The per-rotation row and
+    column updates are stacked rebuilds (bit-identical expressions), not
+    dynamic-update-slices — see _rot_rows.
     """
     n = A.shape[-1]
     pairs = [(p, q) for p in range(n) for q in range(p + 1, n)]
@@ -129,20 +161,10 @@ def _eigh_sym_cyclic(A, sweeps: int = 6):
             phi = 0.5 * jnp.arctan2(2.0 * apq, app - aqq + eps)
             c = jnp.cos(phi)
             s = jnp.sin(phi)
-            row_p = A[p, :]
-            row_q = A[q, :]
-            new_p = c * row_p + s * row_q
-            new_q = -s * row_p + c * row_q
-            A = A.at[p, :].set(new_p).at[q, :].set(new_q)
-            col_p = A[:, p]
-            col_q = A[:, q]
-            new_cp = c * col_p + s * col_q
-            new_cq = -s * col_p + c * col_q
-            A = A.at[:, p].set(new_cp).at[:, q].set(new_cq)
-            v_p = V[:, p]
-            v_q = V[:, q]
-            V = V.at[:, p].set(c * v_p + s * v_q)
-            V = V.at[:, q].set(-s * v_p + c * v_q)
+            # Rows first, then columns of the row-updated matrix (the
+            # standard two-sided application order).
+            A = _rot_cols(_rot_rows(A, p, q, c, s), p, q, c, s)
+            V = _rot_cols(V, p, q, c, s)
 
     return jnp.diagonal(A), V
 
