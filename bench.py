@@ -32,7 +32,7 @@ def main():
 
     import jax.numpy as jnp
 
-    from video_stabilizer_tpu.config import StabilizerParams
+    from video_stabilizer_tpu.config import AlignerParams, StabilizerParams
     from video_stabilizer_tpu.models.chunked import (
         _stabilize_chunk_streams_jit,
         init_stream_state,
@@ -45,7 +45,12 @@ def main():
     frames = int(os.environ.get("BENCH_FRAMES", "16"))   # per chunk
     reps = int(os.environ.get("BENCH_REPS", "4"))
 
-    params = StabilizerParams(crop_pixels=32)
+    # A/B knob for the merged-coarse-levels GN loop (BASELINE.md round-4
+    # A/B); 0 = the shipped default.
+    merge_coarse = int(os.environ.get("BENCH_MERGE_COARSE", "0"))
+    params = StabilizerParams(
+        crop_pixels=32,
+        aligner=AlignerParams(merge_coarse=merge_coarse))
 
     print(f"bench: {streams} streams x {frames}-frame chunks @ "
           f"{width}x{height} BGR on "

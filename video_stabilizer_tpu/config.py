@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Tuple
+from typing import ClassVar, Tuple
 
 
 @dataclasses.dataclass(frozen=True)
@@ -87,15 +87,17 @@ class AlignerParams:
     dtype: str = "float32"
 
     # Gauss-Newton inner-loop backend:
-    #   "auto":   Pallas in-VMEM kernel (ops/pallas_gn.py) on real TPU
-    #             backends for levels whose windows fit VMEM, XLA while_loop
-    #             otherwise;
+    #   "auto":   XLA while_loop at every level (since round 4 — see
+    #             gn_min_bytes below: with u8 window storage the XLA loop
+    #             measured faster than the Pallas in-VMEM kernel at every
+    #             level size, 1080p AND 4K). Setting gn_min_bytes (or
+    #             VIDSTAB_GN_MIN_BYTES) re-enables the size-floor hybrid.
     #   "pallas": force the Pallas kernel (interpreter mode off-TPU — the
     #             equivalence tests use this);
     #   "xla":    force the XLA while_loop.
-    # The kernel keeps the (P, P, N) windows VMEM-resident across all GN
-    # iterations instead of re-reading HBM per iteration (the profiled
-    # throughput ceiling, docs/ROADMAP.md).
+    # The Pallas kernel keeps the (P, P, N) windows VMEM-resident across
+    # all GN iterations instead of re-reading HBM per iteration; u8 window
+    # storage halved that re-read and flipped the trade (docs/ROADMAP.md).
     gn_kernel: str = "auto"
 
     # Margin (pixels) of the pre-extracted per-tile sampling windows
@@ -109,12 +111,22 @@ class AlignerParams:
 
     # Window-size floor (as-if-bf16 bytes) above which gn_kernel="auto"
     # runs a level's GN loop in the Pallas in-VMEM kernel on real TPU
-    # backends; below it the XLA while_loop's cross-stream fusion wins
-    # (measured, docs/ROADMAP.md). None (default) resolves ONCE at
-    # construction from the VIDSTAB_GN_MIN_BYTES env var (default 2 MB) —
-    # the resolved value is part of this static jit key, so later env
-    # changes never silently diverge from cached compiles. [static]
+    # backends. Round-4 A/B (3 alternating same-hour pairs at 1080p:
+    # 765/772/770 hybrid vs 793/795/807 XLA; 4K config-4: 139.4/139.7
+    # hybrid vs 141.6 XLA — BASELINE.md) showed the XLA while_loop wins at
+    # EVERY level size once windows are stored u8 (half the HBM re-read
+    # that motivated the in-VMEM kernel), so the default floor is DISABLED:
+    # "auto" now resolves to the XLA loop everywhere. Set
+    # VIDSTAB_GN_MIN_BYTES (or this field) to re-enable the hybrid for
+    # experiments, or gn_kernel="pallas" to force the kernel. None
+    # (default) resolves ONCE at construction from the env var — the
+    # resolved value is part of this static jit key, so later env changes
+    # never silently diverge from cached compiles. [static]
     gn_min_bytes: int | None = None
+
+    # Sentinel floor meaning "auto never picks Pallas" (any real window is
+    # smaller than this).
+    GN_AUTO_DISABLED: ClassVar[int] = 1 << 62
 
     def __post_init__(self):
         if self.selection not in ("mask", "topk"):
@@ -144,7 +156,7 @@ class AlignerParams:
                     "merged multi-level form); use 'auto' or 'xla'")
         if self.gn_min_bytes is None:
             raw = os.environ.get("VIDSTAB_GN_MIN_BYTES",
-                                 str(2 * 1024 * 1024))
+                                 str(self.GN_AUTO_DISABLED))
             try:
                 resolved = int(raw)
             except ValueError:

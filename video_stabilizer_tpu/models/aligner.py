@@ -250,10 +250,13 @@ def _gn_level_uses_pallas(params: AlignerParams, p: int, n: int) -> bool:
     kernel? (geometry-based so the window STORAGE dtype can be chosen to
     match the consumer — see ``_window_store_dtype``).
 
-    The kernel wins where the XLA loop is HBM-bound (big windows re-read
-    per iteration); at the small coarse levels the XLA loop's cross-stream
-    fusion wins, so "auto" applies the kernel only above a size floor
-    (AlignerParams.gn_min_bytes, default 2 MB — L0/L1 at 1080p). The floor
+    The kernel was built for levels where the XLA loop is HBM-bound (big
+    windows re-read per iteration), but once windows are STORED u8 the
+    re-read halves and the XLA loop's cross-stream fusion wins at every
+    measured level size (round-4 A/B, BASELINE.md), so the default floor
+    (AlignerParams.gn_min_bytes) is now the disabled sentinel — "auto"
+    resolves to the XLA loop everywhere; set VIDSTAB_GN_MIN_BYTES to
+    re-enable the size-floor hybrid for experiments. The floor
     is counted as-if-bf16; whether a level FITS uses the kernel's actual
     VMEM operand dtype (bf16, or u8 for levels like 4K L0 where only the
     half-size u8 form fits — pallas_gn.pallas_window_vmem_dtype)."""
