@@ -31,7 +31,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def bench_4k(streams: int, frames: int, reps: int, gn: str = "auto"):
+def bench_4k(streams: int, frames: int, reps: int, gn: str = "auto",
+             pair_vmap: bool = False):
     """Config 4, honest chunked accounting: 8-DOF homography + phase-corr
     + Lanczos2 at 4K, state carried across chunks, one warped output per
     input frame at steady state (same methodology as bench.py). --gn
@@ -47,7 +48,8 @@ def bench_4k(streams: int, frames: int, reps: int, gn: str = "auto"):
 
     h, w = 2160, 3840
     params = StabilizerParams(
-        aligner=AlignerParams(phase_correlate=True, gn_kernel=gn),
+        aligner=AlignerParams(phase_correlate=True, gn_kernel=gn,
+                              pair_vmap=pair_vmap),
         output_interp="lanczos2", crop_pixels=32)
     clip = synth_shaky_clip(frames, h, w, seed=5, jitter_px=1.0,
                             pan_px_per_frame=0.3)
@@ -83,7 +85,8 @@ def bench_4k(streams: int, frames: int, reps: int, gn: str = "auto"):
     n = streams * frames
     return {
         "metric": f"stabilized_4k_bgr_homography_lanczos2_fps_"
-                  f"{streams}streams_chunked_gn-{gn}",
+                  f"{streams}streams_chunked_gn-{gn}"
+                  + ("" if pair_vmap else "_seqpair"),
         "value": round(n / best, 2),
         "unit": "frames/sec",
         "note": f"chunked steady state, 1 warped output per input frame, "
@@ -230,7 +233,7 @@ def bench_latency_request(samples: int, gn: str = "auto"):
     for k in range(8):                       # compile + fill the lag window
         state, out, meas, ok, valid = _stabilize_chunk_jit(
             state, jnp.asarray(clip[2 * k:2 * k + 2]), params, w, h)
-    jax.block_until_ready(out)
+    _ = np.asarray(ok)
     print(f"latency-request: warm-up {time.time()-t0:.1f}s", file=sys.stderr)
 
     # Dispatch-RTT floor: a trivial scalar program, submit -> fetch.
@@ -253,7 +256,10 @@ def bench_latency_request(samples: int, gn: str = "auto"):
         t0 = time.time()
         state, out, meas, ok, valid = _stabilize_chunk_jit(
             state, ch, params, w, h)
-        jax.block_until_ready(out)           # result computed, on device
+        # block_until_ready is a NO-OP on the tunneled platform; fetch the
+        # tiny (2,) success vector instead — forces the whole program to
+        # complete with a minimal D2H payload.
+        _ = np.asarray(ok)                   # result computed, on device
         t1 = time.time()
         _ = np.asarray(out)                  # + full-frame D2H to host
         t2 = time.time()
@@ -297,6 +303,10 @@ def main():
                     default="auto")
     ap.add_argument("--fixed-iters", type=int, default=None)
     ap.add_argument("--merge-coarse", type=int, default=0)
+    ap.add_argument("--pair-vmap", type=int, default=0,
+                    help="1 = 2-lane batched pair align (A/B knob, "
+                         "AlignerParams.pair_vmap; default off — loses "
+                         "5-7% at 1080p, see BASELINE.md)")
     args = ap.parse_args()
 
     import jax
@@ -309,7 +319,8 @@ def main():
                                   os.path.join(os.path.dirname(__file__),
                                                "..", "bench.py")])
     elif args.mode == "4k":
-        result = bench_4k(args.streams, args.frames, args.reps, args.gn)
+        result = bench_4k(args.streams, args.frames, args.reps, args.gn,
+                          bool(args.pair_vmap))
     elif args.mode == "latency-chunk2":
         result = bench_latency_chunk2(args.reps, args.chain, args.gn,
                                       args.merge_coarse)

@@ -45,12 +45,13 @@ def main():
     frames = int(os.environ.get("BENCH_FRAMES", "16"))   # per chunk
     reps = int(os.environ.get("BENCH_REPS", "4"))
 
-    # A/B knob for the merged-coarse-levels GN loop (BASELINE.md round-4
-    # A/B); 0 = the shipped default.
+    # A/B knobs (BASELINE.md round-4 A/Bs); defaults = the shipped config.
     merge_coarse = int(os.environ.get("BENCH_MERGE_COARSE", "0"))
+    pair_vmap = os.environ.get("BENCH_PAIR_VMAP", "0") != "0"
     params = StabilizerParams(
         crop_pixels=32,
-        aligner=AlignerParams(merge_coarse=merge_coarse))
+        aligner=AlignerParams(merge_coarse=merge_coarse,
+                              pair_vmap=pair_vmap))
 
     print(f"bench: {streams} streams x {frames}-frame chunks @ "
           f"{width}x{height} BGR on "

@@ -31,10 +31,33 @@ if not TPU_MODE:
 # Persistent compile cache: the pipeline programs take ~30-90s each to
 # build on this box; cache them across pytest runs. TPU mode shares the
 # bench cache (same chip, same programs).
+#
+# The CPU cache dir is keyed by a host-CPU-feature fingerprint: XLA:CPU
+# stores AOT executables specialized to the compile machine's ISA, and
+# its loader only WARNS on a feature mismatch ("could lead to execution
+# errors such as SIGILL") — observed as a hard interpreter segfault in
+# put_executable_and_time after this box was recycled onto different
+# hardware. A box swap must land in a fresh cache dir.
+def _host_fingerprint():
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha256(
+                        " ".join(sorted(line.split())).encode()
+                    ).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+    return platform.machine()
+
+
 jax.config.update("jax_compilation_cache_dir",
                   os.environ.get("JAX_CACHE_DIR",
                                  "/tmp/jax_cache" if TPU_MODE
-                                 else "/tmp/jax_cache_tests"))
+                                 else f"/tmp/jax_cache_tests_"
+                                      f"{_host_fingerprint()}"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import numpy as np

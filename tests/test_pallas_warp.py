@@ -107,3 +107,72 @@ def test_grayscale_input():
     got, exact = run_pair(img, [0.0, 0.0, 3.5, -1.25])
     assert got.shape == (H, W)
     assert np.abs(got - exact).max() <= 1
+
+
+def test_qy_modes_bit_identical():
+    """The three row-remainder mechanisms (taps / roll / switch) are pure
+    schedule choices: same taps, same weights, same f32 accumulation order
+    per pixel — outputs must be BIT-identical for every qy in [0, 8)
+    (ty sweeps one full sublane period) and for both interps/models."""
+    from video_stabilizer_tpu.ops.pallas_warp import warp_frames_pallas
+
+    img = jnp.asarray(color_image(seed=41))
+    rng = np.random.default_rng(9)
+    for k in range(8):  # ty fraction walks every sublane remainder
+        t = jnp.asarray([rng.uniform(-0.004, 0.004),
+                         rng.uniform(-0.004, 0.004),
+                         rng.uniform(-30, 30), -14.0 + k + 0.37],
+                        jnp.float32)
+        for interp in ("bilinear", "lanczos2"):
+            base = np.asarray(warp_frames_pallas(
+                img[None], t[None], interp=interp, qy_mode="taps")[0])
+            for mode in ("roll", "switch"):
+                got = np.asarray(warp_frames_pallas(
+                    img[None], t[None], interp=interp, qy_mode=mode)[0])
+                np.testing.assert_array_equal(
+                    got, base, err_msg=f"qy_mode={mode} interp={interp} k={k}")
+
+
+def test_qy_modes_homography():
+    from video_stabilizer_tpu.ops.pallas_warp import warp_frames_pallas
+
+    img = jnp.asarray(color_image(seed=43))
+    p = jnp.asarray([0.003, -0.002, 6.0 / W, 0.004, 0.001, -4.37 / W,
+                     0.01, -0.008], jnp.float32)
+    base = np.asarray(warp_frames_pallas(
+        img[None], p[None], model="homography", interp="lanczos2",
+        qy_mode="taps")[0])
+    for mode in ("roll", "switch"):
+        got = np.asarray(warp_frames_pallas(
+            img[None], p[None], model="homography", interp="lanczos2",
+            qy_mode=mode)[0])
+        np.testing.assert_array_equal(got, base, err_msg=f"qy_mode={mode}")
+
+
+def test_tile_override_matches_default():
+    """Tile shape is a schedule knob, but NOT a bit-exact one: a different
+    per-tile integer base changes the f32 argument of the weight polynomial
+    by an exact integer, whose different rounding moves outputs by at most
+    1 LSB (measured: <0.2% of pixels). Pin that bound, plus the qy-mode
+    bit-equality WITHIN a fixed tile."""
+    from video_stabilizer_tpu.ops.pallas_warp import warp_frames_pallas
+
+    img = jnp.asarray(color_image(seed=47))
+    t = jnp.asarray([0.003, -0.002, 17.3, -6.8], jnp.float32)
+    base = np.asarray(warp_frames_pallas(
+        img[None], t[None], interp="lanczos2")[0]).astype(np.int32)
+    for tile in ((96, 128), (200, 256), (216, 1024)):
+        got = np.asarray(warp_frames_pallas(
+            img[None], t[None], interp="lanczos2", tile=tile,
+            qy_mode="roll")[0]).astype(np.int32)
+        d = np.abs(got - base)
+        assert d.max() <= 1 and (d > 0).mean() < 0.005, \
+            f"tile={tile}: max {d.max()}, frac {(d > 0).mean():.4f}"
+        got_taps = np.asarray(warp_frames_pallas(
+            img[None], t[None], interp="lanczos2", tile=tile,
+            qy_mode="taps")[0]).astype(np.int32)
+        np.testing.assert_array_equal(got, got_taps,
+                                      err_msg=f"qy modes at tile={tile}")
+    import pytest
+    with pytest.raises(ValueError):
+        warp_frames_pallas(img[None], t[None], tile=(100, 512))

@@ -124,6 +124,26 @@ class AlignerParams:
     # never silently diverge from cached compiles. [static]
     gn_min_bytes: int | None = None
 
+    # Batch each pair step's TWO independent alignments — frame A against
+    # the carried keyframe and frame B (the new keyframe) against frame A —
+    # into ONE 2-lane vmapped align program (batched/chunked paths only;
+    # the streaming aligner is inherently sequential). The two aligns share
+    # no data, and every GN while_loop already runs lane-masked under the
+    # stream vmap, so widening the batch 2x halves the number of
+    # sequential per-level GN loop programs per pair — designed against
+    # the "GN-solve fusion soup" leaf-time cluster (BASELINE.md 4K
+    # profile: 33k tiny launch-bound fused ops, 24.5% of leaf time).
+    # DEFAULT OFF: measured a 5-7% LOSS on the 1080p 8-stream headline
+    # (seq 796.0/811.2 fps vs vmap 757.7/753.2, alternating same-hour
+    # pairs, round 4) — with 8 streams the loops are compute-bound, and
+    # the 2-lane max() trip count makes a fast lane pay the slow lane's
+    # iterations; see BASELINE.md "pair_vmap A/B". Automatically falls
+    # back to sequential aligns when any level's GN runs in the Pallas
+    # in-VMEM kernel (lane+stream nested vmap of the kernel is
+    # unvalidated on hardware) or when merge_coarse >= 2 (the merged
+    # loop's level-walker carry is not lane-maskable). [static]
+    pair_vmap: bool = False
+
     # Sentinel floor meaning "auto never picks Pallas" (any real window is
     # smaller than this).
     GN_AUTO_DISABLED: ClassVar[int] = 1 << 62

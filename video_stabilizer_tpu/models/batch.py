@@ -31,10 +31,11 @@ from video_stabilizer_tpu.config import (
     AlignerParams, StabilizerParams, resolve_residual_bound)
 from video_stabilizer_tpu.models.aligner import (
     PHASE_LEVEL,
+    _compute_keyframe,
+    _gn_level_uses_pallas,
     align_all_levels,
     level_specs,
     phase_init_pair,
-    _compute_keyframe,
 )
 from video_stabilizer_tpu.models.smoother import tvl1_smooth
 from video_stabilizer_tpu.ops import build_pyramid
@@ -105,6 +106,19 @@ class _PairCarry(NamedTuple):
     key: tuple       # per-level LevelKeyData
 
 
+def pair_lanes_vmap_ok(specs, params: AlignerParams) -> bool:
+    """May the pair step run its two independent alignments as one 2-lane
+    vmap (AlignerParams.pair_vmap)? Static per trace. Falls back to
+    sequential aligns for the Pallas in-VMEM GN kernel (lane+stream nested
+    vmap unvalidated on hardware) and for the merged coarse-level loop
+    (its level-walker carry has no lane masking)."""
+    if not params.pair_vmap or params.merge_coarse >= 2:
+        return False
+    return not any(
+        _gn_level_uses_pallas(params, s.tile + 2 * s.margin, s.ht * s.wt)
+        for s in specs)
+
+
 def _align_pair_step(carry: _PairCarry, xs, specs, params: AlignerParams,
                      dyn=None):
     """One scan step = two input frames (alignment.cpp frame indices 2k,
@@ -122,29 +136,44 @@ def _align_pair_step(carry: _PairCarry, xs, specs, params: AlignerParams,
 
     lvl_p = min(PHASE_LEVEL, num_levels - 1)
     pyr_a = tuple(build_pyramid(frame_a, num_levels))
+    pyr_b = tuple(build_pyramid(frame_b, num_levels))
+    key_b = _compute_keyframe(pyr_b, specs, params)
     # frame_a (non-keyframe): template = itself, keyframe = carried (the
     # previous frame, which is also the phase-correlation's 'prev').
+    # frame_b (keyframe): template = frame_a's pyramid, keyframe = itself.
     if params.phase_correlate:
         t0_a = phase_init_pair(carry.key_pyr[lvl_p], pyr_a[lvl_p],
                                num_levels, params, dtype, False)
-    else:
-        t0_a = T.identity(dtype)
-    t_a, failed_a = align_all_levels(pyr_a, carry.key, specs,
-                                     params, t0_a, dyn)
-    t_a = jnp.where(failed_a, t_a, T.inverse(t_a))
-    ok_a = jnp.logical_and(pair_idx > 0, jnp.logical_not(failed_a))
-    t_a = jnp.where(pair_idx > 0, t_a, T.identity(dtype))
-
-    pyr_b = tuple(build_pyramid(frame_b, num_levels))
-    key_b = _compute_keyframe(pyr_b, specs, params)
-    # frame_b (keyframe): template = frame_a's pyramid.
-    if params.phase_correlate:
         t0_b = phase_init_pair(pyr_a[lvl_p], pyr_b[lvl_p],
                                num_levels, params, dtype, True)
     else:
+        t0_a = T.identity(dtype)
         t0_b = T.identity(dtype)
-    t_b, failed_b = align_all_levels(pyr_a, key_b, specs, params,
-                                     t0_b, dyn)
+
+    if pair_lanes_vmap_ok(specs, params):
+        # The two alignments share no data (both read template pyr_a, each
+        # against its own keyframe windows), so run them as ONE 2-lane
+        # vmapped align program: the per-level GN while_loops — already
+        # lane-masked under the stream vmap — serve both lanes per
+        # iteration, halving the sequential loop programs per pair (the
+        # launch-bound "GN fusion soup", BASELINE.md 4K profile).
+        key2 = jax.tree.map(lambda a, b: jnp.stack([a, b]),
+                            carry.key, key_b)
+        t2, failed2 = jax.vmap(
+            lambda k, t0: align_all_levels(pyr_a, k, specs, params, t0,
+                                           dyn))(key2,
+                                                 jnp.stack([t0_a, t0_b]))
+        t_a, failed_a = t2[0], failed2[0]
+        t_b, failed_b = t2[1], failed2[1]
+    else:
+        t_a, failed_a = align_all_levels(pyr_a, carry.key, specs,
+                                         params, t0_a, dyn)
+        t_b, failed_b = align_all_levels(pyr_a, key_b, specs, params,
+                                         t0_b, dyn)
+
+    t_a = jnp.where(failed_a, t_a, T.inverse(t_a))
+    ok_a = jnp.logical_and(pair_idx > 0, jnp.logical_not(failed_a))
+    t_a = jnp.where(pair_idx > 0, t_a, T.identity(dtype))
     ok_b = jnp.logical_not(failed_b)
 
     new_carry = _PairCarry(key_pyr=pyr_b, key=key_b)

@@ -40,6 +40,7 @@ from video_stabilizer_tpu.models.aligner import (
 )
 from video_stabilizer_tpu.models.batch import (
     _bgr_to_gray_batched,
+    pair_lanes_vmap_ok,
     smooth_trajectory,
 )
 from video_stabilizer_tpu.ops import (
@@ -257,17 +258,31 @@ def _pair_step_h(carry, xs, specs, params, dyn):
                          Hm.identity(dtype))
 
     pyr_a = tuple(build_pyramid(frame_a, num_levels))
+    pyr_b = tuple(build_pyramid(frame_b, num_levels))
+    key_b = _compute_keyframe_h(pyr_b, specs, params)
     p0a = phase_p(carry.key_pyr[lvl_p], pyr_a[lvl_p], False)
-    p_a, failed_a = align_all_levels_h(pyr_a, carry.key, specs, params,
-                                       p0a, dyn)
+    p0b = phase_p(pyr_a[lvl_p], pyr_b[lvl_p], True)
+
+    if pair_lanes_vmap_ok(specs, params):
+        # Same 2-lane batched pair align as batch._align_pair_step: both
+        # alignments read template pyr_a against independent keyframes.
+        key2 = jax.tree.map(lambda a, b: jnp.stack([a, b]),
+                            carry.key, key_b)
+        p2, failed2 = jax.vmap(
+            lambda k, p0: align_all_levels_h(pyr_a, k, specs, params, p0,
+                                             dyn))(key2,
+                                                   jnp.stack([p0a, p0b]))
+        p_a, failed_a = p2[0], failed2[0]
+        p_b, failed_b = p2[1], failed2[1]
+    else:
+        p_a, failed_a = align_all_levels_h(pyr_a, carry.key, specs, params,
+                                           p0a, dyn)
+        p_b, failed_b = align_all_levels_h(pyr_a, key_b, specs, params,
+                                           p0b, dyn)
+
     p_a = jnp.where(failed_a, p_a, Hm.inverse(p_a))
     ok_a = jnp.logical_and(pair_idx > 0, jnp.logical_not(failed_a))
     p_a = jnp.where(pair_idx > 0, p_a, Hm.identity(dtype))
-
-    pyr_b = tuple(build_pyramid(frame_b, num_levels))
-    key_b = _compute_keyframe_h(pyr_b, specs, params)
-    p0b = phase_p(pyr_a[lvl_p], pyr_b[lvl_p], True)
-    p_b, failed_b = align_all_levels_h(pyr_a, key_b, specs, params, p0b, dyn)
     ok_b = jnp.logical_not(failed_b)
 
     return (_CarryH(pyr_b, key_b),

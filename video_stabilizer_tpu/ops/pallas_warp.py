@@ -25,8 +25,10 @@ Mosaic alignment contract (discovered empirically; the compiler refuses
 anything else): HBM DMA slice OFFSETS and SHAPES must be aligned to the
 u8 (8, 128) tiling. The per-tile base is therefore rounded DOWN to the
 tiling grid and the remainder absorbed in VMEM:
-  - row remainder qy in [0, 8): folded into each y-tap's dynamic sublane
-    start (vector loads support runtime sublane offsets);
+  - row remainder qy in [0, 8): absorbed by one of three bit-identical
+    schedule mechanisms (qy_mode): 8 extra static y-taps ("taps"), one
+    dynamic sublane rotate ("roll"), or an 8-way static-slice branch
+    ("switch") — see _warp_kernel;
   - column remainder qx in [0, 128): lanes allow NO dynamic offsets at
     all, so the shift is a one-hot (BW, TW + 2*(m+2)) band-matrix matmul
     on the MXU — bf16 inputs (u8-derived values are exact in bf16), f32
@@ -50,12 +52,23 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os
+
 from video_stabilizer_tpu.ops.lanczos import lanczos2
 
 # 1080p/4K tile: 1080 = 5*216, 2160 = 10*216; 1920 -> 4x512 blocks
 # (last block 25% padded; 640-wide tiles OOM the 16M scoped VMEM).
 TILE_H = 216
 TILE_W = 512
+
+# Row-remainder mechanism default (see _warp_kernel qy_mode). Resolved
+# ONCE at import (the pattern ADVICE round-3 asked for: no trace-time env
+# reads); VIDSTAB_WARP_QY exists for on-hardware A/Bs of the shipped
+# default. All three modes are bit-identical (tests/test_pallas_warp.py).
+_DEFAULT_QY_MODE = os.environ.get("VIDSTAB_WARP_QY", "taps")
+if _DEFAULT_QY_MODE not in ("taps", "roll", "switch"):
+    raise ValueError(f"VIDSTAB_WARP_QY must be taps|roll|switch, "
+                     f"got {_DEFAULT_QY_MODE!r}")
 MAX_SHIFT = 192  # static bound on the bulk translation, like fast_warp
 BH_PAD = 24      # extra DMA rows: 2*XT + qy(<8), rounded to the 8-tiling
 BW_PAD = 256     # extra DMA cols: 2*XT + qx(<128), rounded to the 128-tiling
@@ -92,7 +105,8 @@ def _positions_homography(t_row, rows, cols, img_w, img_h):
 
 
 def _warp_kernel(t_ref, img_ref, out_ref, scratch, shifted, sem, *,
-                 m, interp, c, pad_lo, tile_h, tile_w, model, img_w, img_h):
+                 m, interp, c, pad_lo, tile_h, tile_w, model, img_w, img_h,
+                 qy_mode):
     """One (tile_h, tile_w) output tile, all channels of frame pid(0).
 
     t_ref: (B, P) SMEM sampling-transform rows (P=4 similarity origin-based
@@ -105,7 +119,7 @@ def _warp_kernel(t_ref, img_ref, out_ref, scratch, shifted, sem, *,
       prefetches p+1's block into the other slot, hiding the per-tile DMA
       latency behind the previous tile's compute (grid programs execute in
       row-major order on TPU).
-    shifted: (C, tile_h + BH_PAD, tile_w + 2*(m+2)) bf16 VMEM — the
+    shifted: (C, tile_h + BH_PAD, tile_w + 2*(m+2)) f32 VMEM — the
       column-remainder-shifted block (values still exact u8 integers).
     """
     f32 = jnp.float32
@@ -204,32 +218,65 @@ def _warp_kernel(t_ref, img_ref, out_ref, scratch, shifted, sem, *,
     # x0 + kx - xt + u). pltpu.roll right-rolls by a (possibly traced)
     # amount, so a left shift by qx is a right roll by blk_w - qx:
     # rolled[x] = blk[(x + qx) mod blk_w], and x + qx < tws + 128 <= blk_w
-    # for every stored column, so no wrapped lane is ever read. u8-derived
-    # values are exact in bf16, so the shifted store stays bit-exact.
+    # for every stored column, so no wrapped lane is ever read; the
+    # shifted store stays bit-exact (u8-derived integers).
     # (This replaced a dense (c*blk_h, blk_w) x (blk_w, tws) one-hot
     # matmul — ~0.58 GFLOP of MXU work per tile just to move lanes;
     # tpu.dynamic_rotate does it for free on the VPU.)
     # tpu.dynamic_rotate is 32-bit only: rotate as i32, then narrow.
     blk_i32 = scratch[slot].astype(jnp.int32)
     rolled = pltpu.roll(blk_i32, blk_w - qx, 2)
-    shifted[...] = rolled[:, :, :tws].astype(jnp.bfloat16)
+    if qy_mode == "roll":
+        # Absorb the row remainder with ONE dynamic sublane rotate too:
+        # rolled2[s] = rolled[(s + qy) mod blk_h], so shifted[d + i] holds
+        # true row y0 + ky - xt + d + i directly and the y-tap range needs
+        # no +8 extension (wrapped rows start at blk_h - qy >= 233, above
+        # any tap read). The kernel is VPU-bound: dropping 8 of the 17
+        # y-taps is the single largest win (see qy_mode in the wrapper).
+        rolled = pltpu.roll(rolled, blk_h - qy, 1)
+    # f32 store (u8 values are exact): the y-taps then read f32 rows
+    # directly instead of paying a bf16->f32 convert per tap — on a
+    # VPU-bound kernel the converts are real vector ops, VMEM is not the
+    # constraint.
+    shifted[...] = rolled[:, :, :tws].astype(jnp.float32)
 
-    # Row remainder: VMEM sublane offsets must ALSO be 8-aligned, so qy
-    # cannot go into the slice start; it shifts the residual instead and
-    # the tap range extends by 8 (static slice starts, dynamic weights).
-    # shifted[d + i] holds true row y0 + ky - xt - qy + d + i, so tap d
-    # carries weight w(ry + xt + qy - d).
-    ry_eff = ry + float(xt) + qy.astype(f32)
+    # Row remainder qy in [0, 8): three mechanisms (weights are evaluated
+    # per-pixel either way; only where qy lands differs):
+    #   "taps"  — qy shifts the residual and the static tap range extends
+    #             by 8 (the original form: 8 extra weighted passes);
+    #   "roll"  — one dynamic sublane rotate above absorbs qy, 9 taps;
+    #   "switch"— 8-way branch on the scalar qy with per-branch STATIC
+    #             slice starts, 9 taps (fallback if Mosaic refuses the
+    #             dynamic sublane rotate).
+    # shifted[d + i] holds true row y0 + ky - xt - qy + d + i ("taps",
+    # "switch") or y0 + ky - xt + d + i ("roll").
     lo2 = lo + xt
-    hi2 = hi + xt + 8
-    tmp = jnp.zeros((c, tile_h, tws), f32)
-    den_y = jnp.zeros((tile_h, tws), f32) if need_den else None
-    for d in range(lo2, hi2):
-        rows = shifted[:, d : d + tile_h, :].astype(f32)
-        wgt = weight(ry_eff - d)
-        tmp = tmp + wgt[None] * rows
-        if need_den:
-            den_y = den_y + wgt
+    if qy_mode == "taps":
+        ry_eff = ry + float(xt) + qy.astype(f32)
+        hi2 = hi + xt + 8
+    else:
+        ry_eff = ry + float(xt)
+        hi2 = hi + xt
+
+    def y_pass(q):
+        tmp = jnp.zeros((c, tile_h, tws), f32)
+        den_y = (jnp.zeros((tile_h, tws), f32) if need_den
+                 else jnp.zeros((1, 1), f32))
+        for d in range(lo2, hi2):
+            rows = shifted[:, d + q : d + q + tile_h, :]
+            wgt = weight(ry_eff - d)
+            tmp = tmp + wgt[None] * rows
+            if need_den:
+                den_y = den_y + wgt
+        return tmp, den_y
+
+    if qy_mode == "switch":
+        tmp, den_y = jax.lax.switch(qy, [functools.partial(y_pass, q)
+                                         for q in range(8)])
+    else:
+        tmp, den_y = y_pass(0)
+    if not need_den:
+        den_y = None
 
     rows_o = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
               .astype(f32) + y0f)
@@ -262,7 +309,8 @@ def _warp_kernel(t_ref, img_ref, out_ref, scratch, shifted, sem, *,
 
 def warp_frames_pallas(frames, ts, interp: str = "bilinear",
                        local_bound: int = 3, interpret: bool | None = None,
-                       model: str = "similarity"):
+                       model: str = "similarity", qy_mode: str | None = None,
+                       tile: tuple[int, int] | None = None):
     """Batched dst(p) = interp(img, W(p)) with zero border (Pallas TPU).
 
     Args:
@@ -277,12 +325,25 @@ def warp_frames_pallas(frames, ts, interp: str = "bilinear",
       interpret: force Pallas interpreter mode (None = auto: interpret
         everywhere except real TPU backends, so CPU tests run this kernel).
       model: "similarity" or "homography".
+      qy_mode: how the kernel absorbs the 8-row DMA alignment remainder —
+        "taps" (8 extra static y-taps), "roll" (one dynamic sublane
+        rotate), or "switch" (8-way static-slice branch). Bit-identical
+        outputs; a pure schedule choice (see _warp_kernel).
+      tile: optional (tile_h, tile_w) override of the (TILE_H, TILE_W)
+        default — a schedule knob (VPU lane padding: the x-extended width
+        tile_w + 2*(m+2) rounds up to 128 lanes, so wider tiles waste
+        less). tile_h % 8 == 0 and tile_w % 128 == 0 required.
 
     Returns:
       (..., H, W, C) u8 warped frames.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if qy_mode is None:
+        qy_mode = _DEFAULT_QY_MODE
+    if qy_mode not in ("taps", "roll", "switch"):
+        raise ValueError(f"qy_mode must be 'taps', 'roll', or 'switch', "
+                         f"got {qy_mode!r}")
     batch_shape = frames.shape[:-3]
     h, w, c = frames.shape[-3:]
     bsz = 1
@@ -292,6 +353,10 @@ def warp_frames_pallas(frames, ts, interp: str = "bilinear",
     flat = frames.reshape((bsz, h, w, c))
     ts_flat = ts.reshape((bsz, nparams)).astype(jnp.float32)
 
+    tile_h, tile_w = tile if tile is not None else (TILE_H, TILE_W)
+    if tile_h % 8 or tile_w % 128:
+        raise ValueError(f"tile must be (8k, 128k)-aligned, got "
+                         f"({tile_h}, {tile_w})")
     m = local_bound
     xt = m + 2
     assert 2 * xt + 8 <= BH_PAD and 2 * xt + 128 <= BW_PAD, \
@@ -299,10 +364,10 @@ def warp_frames_pallas(frames, ts, interp: str = "bilinear",
     # Low pad: the aligned base can sit up to 127 cols / 7 rows below the
     # raw base, which itself reaches MAX_SHIFT + xt below the image.
     pad_lo = MAX_SHIFT + xt + 128
-    grid = (bsz, pl.cdiv(h, TILE_H), pl.cdiv(w, TILE_W))
+    grid = (bsz, pl.cdiv(h, tile_h), pl.cdiv(w, tile_w))
     # High pad: bulk shift + block extent + grid overshoot.
-    pad_hi_y = MAX_SHIFT + BH_PAD + grid[1] * TILE_H - h + 8
-    pad_hi_x = MAX_SHIFT + BW_PAD + grid[2] * TILE_W - w + 8
+    pad_hi_y = MAX_SHIFT + BH_PAD + grid[1] * tile_h - h + 8
+    pad_hi_x = MAX_SHIFT + BW_PAD + grid[2] * tile_w - w + 8
 
     planar = jnp.pad(flat.transpose(0, 3, 1, 2),
                      ((0, 0), (0, 0), (pad_lo, pad_hi_y),
@@ -310,8 +375,8 @@ def warp_frames_pallas(frames, ts, interp: str = "bilinear",
 
     kernel = functools.partial(
         _warp_kernel, m=m, interp=interp, c=c,
-        pad_lo=pad_lo, tile_h=TILE_H, tile_w=TILE_W,
-        model=model, img_w=float(w), img_h=float(h))
+        pad_lo=pad_lo, tile_h=tile_h, tile_w=tile_w,
+        model=model, img_w=float(w), img_h=float(h), qy_mode=qy_mode)
 
     out = pl.pallas_call(
         kernel,
@@ -321,12 +386,12 @@ def warp_frames_pallas(frames, ts, interp: str = "bilinear",
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((1, c, TILE_H, TILE_W),
+        out_specs=pl.BlockSpec((1, c, tile_h, tile_w),
                                lambda b, i, j: (b, 0, i, j),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, c, TILE_H + BH_PAD, TILE_W + BW_PAD), jnp.uint8),
-            pltpu.VMEM((c, TILE_H + BH_PAD, TILE_W + 2 * xt), jnp.bfloat16),
+            pltpu.VMEM((2, c, tile_h + BH_PAD, tile_w + BW_PAD), jnp.uint8),
+            pltpu.VMEM((c, tile_h + BH_PAD, tile_w + 2 * xt), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -339,13 +404,15 @@ def warp_frames_pallas(frames, ts, interp: str = "bilinear",
 
 def warp_image_pallas(img, t_sample_ul, interp: str = "bilinear",
                       local_bound: int = 3, out_dtype=jnp.uint8,
-                      interpret: bool | None = None):
+                      interpret: bool | None = None,
+                      qy_mode: str | None = None):
     """Single-image wrapper of :func:`warp_frames_pallas` (accepts (H, W)
     or (H, W, C) u8)."""
     squeeze = img.ndim == 2
     if squeeze:
         img = img[..., None]
     out = warp_frames_pallas(img[None], t_sample_ul[None], interp=interp,
-                             local_bound=local_bound, interpret=interpret)
+                             local_bound=local_bound, interpret=interpret,
+                             qy_mode=qy_mode)
     out = out[0].astype(out_dtype)
     return out[..., 0] if squeeze else out
