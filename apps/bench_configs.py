@@ -86,7 +86,7 @@ def bench_4k(streams: int, frames: int, reps: int, gn: str = "auto",
     return {
         "metric": f"stabilized_4k_bgr_homography_lanczos2_fps_"
                   f"{streams}streams_chunked_gn-{gn}"
-                  + ("" if pair_vmap else "_seqpair"),
+                  + ("_pairvmap" if pair_vmap else ""),
         "value": round(n / best, 2),
         "unit": "frames/sec",
         "note": f"chunked steady state, 1 warped output per input frame, "

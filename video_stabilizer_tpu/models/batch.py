@@ -114,8 +114,10 @@ def pair_lanes_vmap_ok(specs, params: AlignerParams) -> bool:
     (its level-walker carry has no lane masking)."""
     if not params.pair_vmap or params.merge_coarse >= 2:
         return False
+    from video_stabilizer_tpu.ops.patches import window_size
     return not any(
-        _gn_level_uses_pallas(params, s.tile + 2 * s.margin, s.ht * s.wt)
+        _gn_level_uses_pallas(params, window_size(s.tile, s.margin),
+                              s.ht * s.wt)
         for s in specs)
 
 

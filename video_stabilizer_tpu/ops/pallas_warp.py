@@ -69,6 +69,14 @@ _DEFAULT_QY_MODE = os.environ.get("VIDSTAB_WARP_QY", "taps")
 if _DEFAULT_QY_MODE not in ("taps", "roll", "switch"):
     raise ValueError(f"VIDSTAB_WARP_QY must be taps|roll|switch, "
                      f"got {_DEFAULT_QY_MODE!r}")
+# Tile-shape override for on-hardware A/Bs of the shipped (TILE_H, TILE_W)
+# schedule default (e.g. VIDSTAB_WARP_TILE=216x640). Resolved once at
+# import like the qy knob; the `tile` call argument still wins.
+_DEFAULT_TILE = os.environ.get("VIDSTAB_WARP_TILE")
+if _DEFAULT_TILE is not None:
+    _DEFAULT_TILE = tuple(int(v) for v in _DEFAULT_TILE.split("x"))
+    if len(_DEFAULT_TILE) != 2:
+        raise ValueError("VIDSTAB_WARP_TILE must be HxW, e.g. 216x640")
 MAX_SHIFT = 192  # static bound on the bulk translation, like fast_warp
 BH_PAD = 24      # extra DMA rows: 2*XT + qy(<8), rounded to the 8-tiling
 BW_PAD = 256     # extra DMA cols: 2*XT + qx(<128), rounded to the 128-tiling
@@ -230,8 +238,9 @@ def _warp_kernel(t_ref, img_ref, out_ref, scratch, shifted, sem, *,
         # Absorb the row remainder with ONE dynamic sublane rotate too:
         # rolled2[s] = rolled[(s + qy) mod blk_h], so shifted[d + i] holds
         # true row y0 + ky - xt + d + i directly and the y-tap range needs
-        # no +8 extension (wrapped rows start at blk_h - qy >= 233, above
-        # any tap read). The kernel is VPU-bound: dropping 8 of the 17
+        # no +8 extension (wrapped rows start at blk_h - qy >= tile_h +
+        # BH_PAD - 7 = tile_h + 17, above the max tap read tile_h + 2m+3
+        # for any valid tile). The kernel is VPU-bound: dropping 8 of the 17
         # y-taps is the single largest win (see qy_mode in the wrapper).
         rolled = pltpu.roll(rolled, blk_h - qy, 1)
     # f32 store (u8 values are exact): the y-taps then read f32 rows
@@ -353,7 +362,9 @@ def warp_frames_pallas(frames, ts, interp: str = "bilinear",
     flat = frames.reshape((bsz, h, w, c))
     ts_flat = ts.reshape((bsz, nparams)).astype(jnp.float32)
 
-    tile_h, tile_w = tile if tile is not None else (TILE_H, TILE_W)
+    if tile is None:
+        tile = _DEFAULT_TILE or (TILE_H, TILE_W)
+    tile_h, tile_w = tile
     if tile_h % 8 or tile_w % 128:
         raise ValueError(f"tile must be (8k, 128k)-aligned, got "
                          f"({tile_h}, {tile_w})")
