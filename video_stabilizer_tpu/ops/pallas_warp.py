@@ -57,7 +57,9 @@ import os
 from video_stabilizer_tpu.ops.lanczos import lanczos2
 
 # 1080p/4K tile: 1080 = 5*216, 2160 = 10*216; 1920 -> 4x512 blocks
-# (last block 25% padded; 640-wide tiles OOM the 16M scoped VMEM).
+# (last block 25% padded; wider tiles fit since the scoped VMEM limit was
+# raised to 100M — see VIDSTAB_WARP_TILE and the round-5 tile sweep in
+# docs/QY_BENCH_r5.log: 216x640 divides 1920/3840 exactly and wins at 4K).
 TILE_H = 216
 TILE_W = 512
 
